@@ -1,0 +1,146 @@
+"""Encoder-core tests: shapes, masking, causality, pooling, truncation.
+
+Covers the semantics the reference model relies on
+(``xfmr_rec/models.py:306-345``): mask = any-nonzero-embedding, truncation
+to the last ``max_seq_length`` positions, pooling modes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transformer_recommenders_tpu.configs import ModelConfig
+from transformer_recommenders_tpu.models.transformer import (
+    init_transformer_params,
+    pool_tokens,
+    transformer_encode,
+)
+
+CFG = ModelConfig(
+    hidden_size=32,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    intermediate_size=16,
+    max_seq_length=8,
+    compute_dtype="float32",
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_transformer_params(jax.random.key(0), CFG)
+
+
+def test_output_shapes(params):
+    x = jax.random.normal(jax.random.key(1), (3, 8, 32))
+    out = transformer_encode(params, CFG, x)
+    assert out["token_embeddings"].shape == (3, 8, 32)
+    assert out["sentence_embedding"].shape == (3, 32)
+    assert out["attention_mask"].shape == (3, 8)
+    assert out["token_embeddings"].dtype == jnp.float32
+    assert np.all(np.isfinite(out["sentence_embedding"]))
+
+
+def test_attention_mask_from_nonzero(params):
+    x = np.array(jax.random.normal(jax.random.key(2), (2, 8, 32)))
+    x[0, 5:] = 0.0  # padded tail
+    out = transformer_encode(params, CFG, jnp.asarray(x))
+    np.testing.assert_array_equal(
+        np.asarray(out["attention_mask"][0]), [1, 1, 1, 1, 1, 0, 0, 0]
+    )
+    assert np.all(np.asarray(out["attention_mask"][1]))
+
+
+def test_causality(params):
+    """With is_decoder=True, token t must not see tokens > t."""
+    x1 = np.array(jax.random.normal(jax.random.key(3), (1, 8, 32)))
+    x2 = x1.copy()
+    x2[0, 6:] = np.array(jax.random.normal(jax.random.key(4), (2, 32)))
+    o1 = transformer_encode(params, CFG, jnp.asarray(x1))["token_embeddings"]
+    o2 = transformer_encode(params, CFG, jnp.asarray(x2))["token_embeddings"]
+    np.testing.assert_allclose(
+        np.asarray(o1[0, :6]), np.asarray(o2[0, :6]), rtol=1e-5, atol=1e-5
+    )
+    assert not np.allclose(np.asarray(o1[0, 6:]), np.asarray(o2[0, 6:]))
+
+
+def test_non_causal_sees_future(params):
+    cfg = CFG.model_copy(update={"is_decoder": False})
+    x1 = np.array(jax.random.normal(jax.random.key(5), (1, 8, 32)))
+    x2 = x1.copy()
+    x2[0, 7] = 3.0
+    o1 = transformer_encode(params, cfg, jnp.asarray(x1))["token_embeddings"]
+    o2 = transformer_encode(params, cfg, jnp.asarray(x2))["token_embeddings"]
+    assert not np.allclose(np.asarray(o1[0, 0]), np.asarray(o2[0, 0]))
+
+
+def test_padding_does_not_affect_valid_tokens(params):
+    """Padded (zero) tail positions must not change valid-token outputs or
+    the pooled embedding (they are masked from keys and pooling)."""
+    x_short = np.array(jax.random.normal(jax.random.key(6), (1, 4, 32)))
+    x_padded = np.zeros((1, 8, 32), np.float32)
+    x_padded[0, :4] = x_short[0]
+    o1 = transformer_encode(params, CFG, jnp.asarray(x_short))
+    o2 = transformer_encode(params, CFG, jnp.asarray(x_padded))
+    np.testing.assert_allclose(
+        np.asarray(o1["sentence_embedding"]),
+        np.asarray(o2["sentence_embedding"]),
+        rtol=1e-6,
+    )
+
+
+def test_pooling_modes():
+    tok = jnp.asarray(
+        [[[1.0, 2.0], [3.0, 4.0], [50.0, 60.0]]]
+    )  # (1, 3, 2); last position padded
+    mask = jnp.asarray([[True, True, False]])
+    np.testing.assert_allclose(np.asarray(pool_tokens(tok, mask, "mean")[0]), [2.0, 3.0])
+    np.testing.assert_allclose(np.asarray(pool_tokens(tok, mask, "max")[0]), [3.0, 4.0])
+    np.testing.assert_allclose(np.asarray(pool_tokens(tok, mask, "cls")[0]), [1.0, 2.0])
+    np.testing.assert_allclose(
+        np.asarray(pool_tokens(tok, mask, "lasttoken")[0]), [3.0, 4.0]
+    )
+
+
+def test_normalized_output(params):
+    cfg = CFG.model_copy(update={"is_normalized": True})
+    x = jax.random.normal(jax.random.key(7), (4, 8, 32))
+    out = transformer_encode(params, cfg, x)
+    norms = np.linalg.norm(np.asarray(out["sentence_embedding"]), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
+
+
+def test_too_long_sequence_raises(params):
+    x = jnp.zeros((1, 9, 32))
+    with pytest.raises(ValueError, match="max_seq_length"):
+        transformer_encode(params, CFG, x)
+
+
+def test_dropout_deterministic_per_key(params):
+    x = jax.random.normal(jax.random.key(8), (2, 8, 32))
+    o1 = transformer_encode(params, CFG, x, dropout_rng=jax.random.key(9))
+    o2 = transformer_encode(params, CFG, x, dropout_rng=jax.random.key(9))
+    o3 = transformer_encode(params, CFG, x, dropout_rng=jax.random.key(10))
+    np.testing.assert_allclose(
+        np.asarray(o1["token_embeddings"]), np.asarray(o2["token_embeddings"])
+    )
+    assert not np.allclose(
+        np.asarray(o1["token_embeddings"]), np.asarray(o3["token_embeddings"])
+    )
+
+
+def test_input_projection():
+    cfg = CFG.model_copy(update={"input_dim": 16})
+    params = init_transformer_params(jax.random.key(0), cfg)
+    assert "input_proj" in params
+    x = jax.random.normal(jax.random.key(11), (2, 8, 16))
+    out = transformer_encode(params, cfg, x)
+    assert out["sentence_embedding"].shape == (2, 32)
+
+
+def test_jit_compiles(params):
+    fn = jax.jit(lambda p, x: transformer_encode(p, CFG, x)["sentence_embedding"])
+    x = jax.random.normal(jax.random.key(12), (2, 8, 32))
+    out = fn(params, x)
+    assert out.shape == (2, 32)

@@ -1,0 +1,194 @@
+"""Pydantic config surface for every subsystem.
+
+Parity: the reference spreads configs over ``xfmr_rec/models.py:22-48``
+(ModelConfig), ``xfmr_rec/losses.py:11-30`` (LossConfig),
+``xfmr_rec/data.py:543-555`` (SeqDataConfig/SeqDataModuleConfig),
+``xfmr_rec/index.py:23-47`` (IndexConfig/LanceIndexConfig) and
+``xfmr_rec/trainer.py:98-115`` (LightningConfig, a flattening
+multi-inherit of Loss+Model configs).  We keep the same flattened
+`TrainConfig` surface plus TPU-specific knobs (mesh shape, dtypes).
+"""
+
+from __future__ import annotations
+
+from typing import Literal
+
+import pydantic
+
+from transformer_recommenders_tpu.params import (
+    DATA_DIR,
+    ITEMS_PARQUET,
+    ITEMS_TABLE_NAME,
+    PRETRAINED_MODEL_NAME,
+    TOP_K,
+    USERS_PARQUET,
+    USERS_TABLE_NAME,
+)
+
+PoolingMode = Literal["mean", "max", "cls", "lasttoken"]
+Similarity = Literal["dot", "cosine"]
+
+LossType = Literal[
+    "AlignmentLoss",
+    "AlignmentContrastiveLoss",
+    "ContrastiveLoss",
+    "InfoNCELoss",
+    "NCELoss",
+    "PairwiseHingeLoss",
+    "PairwiseLogisticLoss",
+]
+
+
+class ModelConfig(pydantic.BaseModel):
+    """Transformer encoder topology.  Parity: ``xfmr_rec/models.py:22-48``.
+
+    Unlike the reference (which infers ``hidden_size`` from a pretrained HF
+    model), dimensions are explicit.  ``input_dim`` is the dimensionality of
+    the frozen item embeddings; when it differs from ``hidden_size`` a
+    learned input projection is inserted (BASELINE.json config #3).
+    """
+
+    input_dim: int | None = None  # None -> same as hidden_size
+    hidden_size: int = 384
+    num_hidden_layers: int = 1
+    num_attention_heads: int = 12
+    intermediate_size: int = 48
+    max_seq_length: int = 32
+    is_decoder: bool = True  # causal attention, reference models.py:44
+    pooling_mode: PoolingMode = "mean"
+    is_normalized: bool = False
+
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    layer_norm_eps: float = 1e-12
+    initializer_range: float = 0.02
+
+    # TPU-first knobs
+    compute_dtype: Literal["bfloat16", "float32"] = "bfloat16"
+    use_pallas_attention: bool = False
+
+    pretrained_model_name: str = PRETRAINED_MODEL_NAME
+
+    @property
+    def resolved_input_dim(self) -> int:
+        return self.input_dim if self.input_dim is not None else self.hidden_size
+
+    @pydantic.model_validator(mode="after")
+    def _check(self) -> ModelConfig:
+        if self.hidden_size % self.num_attention_heads != 0:
+            msg = (
+                f"hidden_size={self.hidden_size} not divisible by "
+                f"num_attention_heads={self.num_attention_heads}"
+            )
+            raise ValueError(msg)
+        return self
+
+
+class LossConfig(pydantic.BaseModel):
+    """In-batch loss pipeline config.  Parity: ``xfmr_rec/losses.py:11-30``."""
+
+    target_position: Literal["first", "diagonal"] | None = "first"
+    mask_false_negatives: bool = True
+    num_hard_negatives: int = 0
+    scale: float = 1.0
+    margin: float = 0.5
+
+
+class SeqDataConfig(pydantic.BaseModel):
+    """Sequence sampling config.  Parity: ``xfmr_rec/data.py:543-545``."""
+
+    max_seq_length: int = 32
+    pos_lookahead: int = 0
+
+
+class SeqDataModuleConfig(SeqDataConfig):
+    """Data module config.  Parity: ``xfmr_rec/data.py:548-555``."""
+
+    data_dir: str = DATA_DIR
+    dataset: Literal["ml-1m", "ml-100k", "ml-25m", "synthetic"] = "ml-1m"
+    items_parquet: str = ITEMS_PARQUET
+    users_parquet: str = USERS_PARQUET
+
+    pretrained_model_name: str = PRETRAINED_MODEL_NAME
+    embedder: Literal["sentence-transformer", "hash"] = "sentence-transformer"
+    embedding_dim: int = 384  # used by the hash embedder
+
+    batch_size: int = 32
+    seed: int = 0
+
+    # synthetic generator knobs (tests / benches without network egress)
+    synthetic_num_users: int = 200
+    synthetic_num_items: int = 500
+    synthetic_num_events: int = 20_000
+
+
+class IndexConfig(pydantic.BaseModel):
+    """Retrieval index config.  Parity: ``xfmr_rec/index.py:23-47``
+    (LanceIndexConfig: metric/cosine, id/text/embedding columns)."""
+
+    index_path: str = "index_store"
+    table_name: str = ITEMS_TABLE_NAME
+    id_col: str = "item_id"
+    text_col: str = "item_text"
+    embedding_col: str | None = "embedding"
+    metric: Similarity = "cosine"
+    backend: Literal["device", "host"] = "device"
+    top_k: int = TOP_K
+
+
+class MeshConfig(pydantic.BaseModel):
+    """Device mesh layout for pjit/shard_map execution.
+
+    The reference has no distributed configuration (SURVEY.md §2.3); this is
+    the TPU-native equivalent of Lightning's latent ``strategy: auto``:
+    a 2-D ``Mesh((data, model))`` with DP over the batch axis and
+    row-sharded embedding tables over the model axis.
+    """
+
+    data_axis_size: int = -1  # -1: all devices
+    model_axis_size: int = 1
+
+
+class TrainConfig(LossConfig, ModelConfig):
+    """Flattened training config.  Parity: ``xfmr_rec/trainer.py:98-115``."""
+
+    train_loss: LossType = "InfoNCELoss"
+    learning_rate: float = 0.001
+    weight_decay: float = 0.01
+    max_epochs: int = 1
+    max_steps: int = -1
+    max_time_seconds: float = 4 * 3600.0
+    early_stopping_patience: int = 3  # Lightning EarlyStopping default
+    monitor: str = "val/retrieval_normalized_dcg"
+    monitor_mode: Literal["max", "min"] = "max"
+    seed: int = 0
+    log_every_n_steps: int = 50
+    limit_train_batches: int = -1
+    limit_val_batches: int = -1
+    eval_batch_size: int = 256
+    ckpt_dir: str = "checkpoints"
+
+    items_config: IndexConfig = IndexConfig(
+        table_name=ITEMS_TABLE_NAME,
+        id_col="item_id",
+        text_col="item_text",
+        embedding_col="embedding",
+    )
+    users_config: IndexConfig = IndexConfig(
+        table_name=USERS_TABLE_NAME,
+        id_col="user_id",
+        text_col="user_text",
+        embedding_col=None,
+    )
+    top_k: int = TOP_K
+    mesh: MeshConfig = MeshConfig()
+
+
+def load_yaml_config(path: str, cls: type[pydantic.BaseModel]) -> pydantic.BaseModel:
+    """Load a YAML file into a config model (CLI/YAML override surface,
+    parity with the jsonargparse layer of ``xfmr_rec/trainer.py:456-463``)."""
+    import yaml
+
+    with open(path) as f:
+        payload = yaml.safe_load(f) or {}
+    return cls.model_validate(payload)

@@ -1,0 +1,242 @@
+"""Sequential recommender model: frozen item table + causal encoder.
+
+Parity: ``xfmr_rec/models.py:176-419`` (``RecommenderModel``).  The frozen
+item-embedding table (with a zero padding row at index 0, reference
+models.py:247-253) is a device array kept OUTSIDE the trainable parameter
+pytree, so optimizers and checkpoints never touch it (the reference likewise
+pops it from checkpoints, ``xfmr_rec/trainer.py:352-362``).  All hot paths
+are module-level pure functions that jit cleanly; the class is a thin host
+wrapper holding config, params, the table and the id<->idx mapping.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transformer_recommenders_tpu.configs import ModelConfig
+from transformer_recommenders_tpu.models.transformer import (
+    Params,
+    init_transformer_params,
+    transformer_encode,
+)
+
+
+def model_forward(
+    params: Params,
+    cfg: ModelConfig,
+    item_table: jax.Array,
+    item_idx: jax.Array | None = None,
+    *,
+    item_embeds: jax.Array | None = None,
+    dropout_rng: jax.Array | None = None,
+) -> dict[str, jax.Array]:
+    """Forward pass from item indices or raw item embeddings.
+
+    Parity: ``xfmr_rec/models.py:306-345`` — truncate to the LAST
+    ``max_seq_length`` positions, derive the attention mask as "any nonzero
+    embedding component", run the encoder.
+    """
+    if item_embeds is not None:
+        input_embeds = item_embeds[:, -cfg.max_seq_length :, :]
+    elif item_idx is not None:
+        input_embeds = jnp.take(
+            item_table, item_idx[:, -cfg.max_seq_length :], axis=0
+        )
+    else:
+        msg = "either `item_idx` or `item_embeds` must be provided"
+        raise ValueError(msg)
+    return transformer_encode(params, cfg, input_embeds, dropout_rng=dropout_rng)
+
+
+def compute_embeds(
+    params: Params,
+    cfg: ModelConfig,
+    item_table: jax.Array,
+    history_item_idx: jax.Array,
+    pos_item_idx: jax.Array,
+    neg_item_idx: jax.Array,
+    *,
+    dropout_rng: jax.Array | None = None,
+) -> dict[str, jax.Array]:
+    """Produce per-position training queries and the shared candidate pool.
+
+    Parity: ``xfmr_rec/models.py:366-419`` (``compute_embeds``) — but with
+    TPU-friendly FIXED shapes.  The reference boolean-indexes away invalid
+    positions (variable shapes); here every (batch x seq) position is kept
+    and validity is carried in masks:
+
+    - ``row_valid``:  attention-valid AND sampled positive is not padding
+      (reference filters rows via ``attention_mask`` then ``pos_mask``,
+      models.py:392,412-418);
+    - ``neg_valid``:  attention-valid (the reference's shared negative pool
+      is built from attention-valid positions only, models.py:404-408).
+
+    The shared in-batch negative pool is NOT materialized as the reference's
+    ``(R, R, D)`` expand; losses consume ``query/pos_embed/neg_pool`` and
+    compute ``(R, R)`` logits with a single MXU matmul.
+
+    Returns fixed-shape arrays with R = batch*seq flattened rows:
+      ``query`` (R, D) f32, ``pos_embed`` (R, D), ``neg_pool`` (R, D),
+      ``row_valid`` (R,) bool, ``neg_valid`` (R,) bool,
+      ``attention_mask`` (B, S) bool, ``positive_mask`` (B, S) bool.
+    """
+    out = model_forward(
+        params, cfg, item_table, history_item_idx, dropout_rng=dropout_rng
+    )
+    attention_mask = out["attention_mask"]  # (B, S)
+    b, s = attention_mask.shape
+
+    query = out["token_embeddings"].reshape(b * s, -1)
+    if cfg.is_normalized:
+        query = query / jnp.clip(
+            jnp.linalg.norm(query, axis=-1, keepdims=True), min=1e-12
+        )
+
+    pos_flat = pos_item_idx[:, -s:].reshape(b * s)
+    neg_flat = neg_item_idx[:, -s:].reshape(b * s)
+    neg_valid = attention_mask.reshape(b * s)
+    positive_mask = (pos_flat != 0) & neg_valid
+
+    return {
+        "query": query,
+        "pos_embed": jnp.take(item_table, pos_flat, axis=0),
+        "neg_pool": jnp.take(item_table, neg_flat, axis=0),
+        "row_valid": positive_mask,
+        "neg_valid": neg_valid,
+        "attention_mask": attention_mask,
+        "positive_mask": positive_mask.reshape(b, s),
+    }
+
+
+def build_item_table(embeddings: np.ndarray | jax.Array) -> jax.Array:
+    """Frozen item table with a zero row prepended as padding index 0.
+
+    Parity: ``xfmr_rec/models.py:247-253``.
+    """
+    emb = jnp.asarray(embeddings, jnp.float32)
+    return jnp.concatenate([jnp.zeros_like(emb[:1]), emb], axis=0)
+
+
+class RecommenderModel:
+    """Host-side convenience wrapper (config + params + table + id maps).
+
+    Parity surface: ``forward`` / ``encode`` / ``compute_embeds`` /
+    ``configure_embeddings`` / ``save`` / ``load``
+    (``xfmr_rec/models.py:176-419``).
+    """
+
+    def __init__(
+        self,
+        config: ModelConfig,
+        *,
+        params: Params | None = None,
+        rng: jax.Array | None = None,
+    ) -> None:
+        self.config = ModelConfig.model_validate(config)
+        if params is None:
+            rng = rng if rng is not None else jax.random.key(0)
+            params = init_transformer_params(rng, self.config)
+        self.params = params
+        self.item_table: jax.Array | None = None
+        self.id2idx: dict[str, int] | None = None
+        self.item_ids: list[str] | None = None
+        self._encode_fn = None
+
+    @property
+    def max_seq_length(self) -> int:
+        return self.config.max_seq_length
+
+    def configure_embeddings(
+        self, item_ids: list[str], embeddings: np.ndarray
+    ) -> None:
+        """Install the frozen item table and id->idx map (idx 0 = padding).
+
+        Parity: ``xfmr_rec/models.py:234-259``.
+        """
+        if self.item_table is None:
+            self.item_table = build_item_table(embeddings)
+        if self.id2idx is None:
+            self.item_ids = list(item_ids)
+            self.id2idx = {item_id: i + 1 for i, item_id in enumerate(item_ids)}
+
+    def __call__(
+        self,
+        item_idx: jax.Array | np.ndarray | None = None,
+        *,
+        item_embeds: jax.Array | np.ndarray | None = None,
+        dropout_rng: jax.Array | None = None,
+    ) -> dict[str, jax.Array]:
+        assert self.item_table is not None, "call configure_embeddings first"
+        if item_idx is not None:
+            item_idx = jnp.asarray(item_idx)
+        if item_embeds is not None:
+            item_embeds = jnp.asarray(item_embeds)
+        return model_forward(
+            self.params,
+            self.config,
+            self.item_table,
+            item_idx,
+            item_embeds=item_embeds,
+            dropout_rng=dropout_rng,
+        )
+
+    def encode(self, item_ids: list[str]) -> jax.Array:
+        """Encode an item-id sequence to its pooled embedding, silently
+        dropping unknown ids.  Parity: ``xfmr_rec/models.py:347-364``."""
+        assert self.id2idx is not None, "call configure_embeddings first"
+        idx = [self.id2idx[i] for i in item_ids if i in self.id2idx]
+        if not idx:
+            idx = [0]
+        arr = jnp.asarray(idx, jnp.int32)[None, -self.max_seq_length :]
+        return self(arr)["sentence_embedding"][0]
+
+    def compute_embeds(
+        self,
+        history_item_idx: jax.Array,
+        pos_item_idx: jax.Array,
+        neg_item_idx: jax.Array,
+        *,
+        dropout_rng: jax.Array | None = None,
+    ) -> dict[str, jax.Array]:
+        assert self.item_table is not None, "call configure_embeddings first"
+        return compute_embeds(
+            self.params,
+            self.config,
+            self.item_table,
+            jnp.asarray(history_item_idx),
+            jnp.asarray(pos_item_idx),
+            jnp.asarray(neg_item_idx),
+            dropout_rng=dropout_rng,
+        )
+
+    # -- persistence ---------------------------------------------------------
+    # Parity: the reference saves a SentenceTransformer dir and reconstructs
+    # the config from it (models.py:261-304).  Here: config.json + params.npz.
+    # The frozen item table is intentionally NOT saved (reference
+    # trainer.py:352-362); it is reconstituted from the items dataset.
+
+    def save(self, path: str | pathlib.Path) -> None:
+        path = pathlib.Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        (path / "config.json").write_text(self.config.model_dump_json(indent=2))
+        flat = jax.tree.leaves(self.params)
+        np.savez(
+            path / "params.npz",
+            **{f"p{i}": np.asarray(leaf) for i, leaf in enumerate(flat)},
+        )
+
+    @classmethod
+    def load(cls, path: str | pathlib.Path) -> RecommenderModel:
+        path = pathlib.Path(path)
+        config = ModelConfig.model_validate_json((path / "config.json").read_text())
+        # the param-tree structure is a pure function of the config, so a
+        # template init gives the treedef to unflatten the saved leaves into
+        template = init_transformer_params(jax.random.key(0), config)
+        treedef = jax.tree.structure(template)
+        with np.load(path / "params.npz") as data:
+            leaves = [jnp.asarray(data[f"p{i}"]) for i in range(len(data.files))]
+        return cls(config, params=jax.tree.unflatten(treedef, leaves))

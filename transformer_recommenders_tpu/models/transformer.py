@@ -1,0 +1,236 @@
+"""Pure-functional causal transformer encoder over item-embedding sequences.
+
+TPU-first re-design of the reference model stack (HF ``BertModel`` wrapped in
+a SentenceTransformer, ``xfmr_rec/models.py:51-173``):
+
+- params are a plain pytree (dict) — trivially shardable with NamedSharding
+  and friendly to ``jax.jit`` / ``pjit`` / ``shard_map``;
+- fused QKV projection (one (D, 3D) matmul) keeps the MXU busy;
+- matmuls run in ``compute_dtype`` (bfloat16 by default) with float32
+  accumulation (``preferred_element_type``); layer-norm and softmax run in
+  float32 for stability;
+- no data-dependent Python control flow — everything traces once.
+
+Semantics parity with the reference forward path (``xfmr_rec/models.py:306-345``
+driving HF BERT with ``inputs_embeds``):
+- learned absolute position embeddings added to inputs, then LayerNorm+dropout
+  (BERT embedding layer; token-type embeddings are a constant with
+  vocab_size=1 inputs so they fold into the bias and are omitted);
+- post-LN encoder blocks (attention -> residual -> LN; GELU FFN -> residual
+  -> LN), causal when ``is_decoder`` (reference models.py:44);
+- padding positions masked out of attention keys;
+- pooling modes mean/max/cls/lasttoken over the attention mask and optional
+  L2 normalization (sentence-transformers Pooling/Normalize modules,
+  reference models.py:143-148).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from transformer_recommenders_tpu.configs import ModelConfig
+
+Params = dict[str, Any]
+
+_NEG_INF = -1e9  # finite big-negative: safe in bf16/f32 softmax
+
+
+def _dense_init(rng: jax.Array, d_in: int, d_out: int, std: float) -> Params:
+    return {
+        "w": std * jax.random.normal(rng, (d_in, d_out), jnp.float32),
+        "b": jnp.zeros((d_out,), jnp.float32),
+    }
+
+
+def _ln_init(dim: int) -> Params:
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def _layer_init(rng: jax.Array, cfg: ModelConfig) -> Params:
+    d, f = cfg.hidden_size, cfg.intermediate_size
+    k = jax.random.split(rng, 4)
+    std = cfg.initializer_range
+    return {
+        "qkv": _dense_init(k[0], d, 3 * d, std),
+        "out": _dense_init(k[1], d, d, std),
+        "ln1": _ln_init(d),
+        "ffn_in": _dense_init(k[2], d, f, std),
+        "ffn_out": _dense_init(k[3], f, d, std),
+        "ln2": _ln_init(d),
+    }
+
+
+def init_transformer_params(rng: jax.Array, cfg: ModelConfig) -> Params:
+    """Initialize the encoder parameter pytree (stored in float32)."""
+    keys = jax.random.split(rng, cfg.num_hidden_layers + 2)
+    params: Params = {
+        "pos_embed": cfg.initializer_range
+        * jax.random.normal(keys[0], (cfg.max_seq_length, cfg.hidden_size), jnp.float32),
+        "embed_ln": _ln_init(cfg.hidden_size),
+        "layers": [_layer_init(keys[i + 2], cfg) for i in range(cfg.num_hidden_layers)],
+    }
+    if cfg.resolved_input_dim != cfg.hidden_size:
+        params["input_proj"] = _dense_init(
+            keys[1], cfg.resolved_input_dim, cfg.hidden_size, cfg.initializer_range
+        )
+    return params
+
+
+def _layer_norm(x: jax.Array, p: Params, eps: float) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return out * p["scale"] + p["bias"]
+
+
+def _dense(x: jax.Array, p: Params, dtype: jnp.dtype) -> jax.Array:
+    return (
+        jnp.dot(x.astype(dtype), p["w"].astype(dtype), preferred_element_type=jnp.float32)
+        + p["b"]
+    )
+
+
+def _dropout(x: jax.Array, rate: float, rng: jax.Array | None) -> jax.Array:
+    if rng is None or rate <= 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+def _attention(
+    x: jax.Array,
+    p: Params,
+    cfg: ModelConfig,
+    key_mask: jax.Array,
+    rng: jax.Array | None,
+) -> jax.Array:
+    b, s, d = x.shape
+    h = cfg.num_attention_heads
+    dh = d // h
+    dtype = jnp.dtype(cfg.compute_dtype)
+
+    qkv = _dense(x, p["qkv"], dtype)  # (B, S, 3D) f32 accum
+    qkv = qkv.astype(dtype).reshape(b, s, 3, h, dh)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+    # scores in f32: (B, H, S, S)
+    scores = jnp.einsum("bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32)
+    scores = scores * (1.0 / jnp.sqrt(jnp.float32(dh)))
+
+    bias = jnp.where(key_mask[:, None, None, :], 0.0, _NEG_INF)  # mask padded keys
+    if cfg.is_decoder:
+        causal = jnp.tril(jnp.ones((s, s), jnp.bool_))
+        bias = bias + jnp.where(causal[None, None, :, :], 0.0, _NEG_INF)
+    probs = jax.nn.softmax(scores + bias, axis=-1)
+    probs = _dropout(probs, cfg.attention_dropout, rng)
+
+    ctx = jnp.einsum(
+        "bhst,bthd->bshd", probs.astype(dtype), v, preferred_element_type=jnp.float32
+    )
+    ctx = ctx.reshape(b, s, d)
+    return _dense(ctx, p["out"], dtype)
+
+
+def _ffn(x: jax.Array, p: Params, cfg: ModelConfig) -> jax.Array:
+    dtype = jnp.dtype(cfg.compute_dtype)
+    hidden = jax.nn.gelu(_dense(x, p["ffn_in"], dtype), approximate=False)
+    return _dense(hidden, p["ffn_out"], dtype)
+
+
+def pool_tokens(
+    token_embeddings: jax.Array, attention_mask: jax.Array, mode: str
+) -> jax.Array:
+    """Sequence pooling.  Parity: sentence-transformers ``Pooling`` module as
+    configured by the reference (``xfmr_rec/models.py:143-145``)."""
+    mask_f = attention_mask.astype(jnp.float32)[..., None]
+    if mode == "mean":
+        total = jnp.sum(token_embeddings * mask_f, axis=-2)
+        count = jnp.clip(jnp.sum(mask_f, axis=-2), min=1e-9)
+        return total / count
+    if mode == "max":
+        masked = jnp.where(attention_mask[..., None], token_embeddings, _NEG_INF)
+        return jnp.max(masked, axis=-2)
+    if mode == "cls":
+        return token_embeddings[..., 0, :]
+    if mode == "lasttoken":
+        last = jnp.maximum(jnp.sum(attention_mask, axis=-1) - 1, 0)
+        return jnp.take_along_axis(
+            token_embeddings, last[..., None, None], axis=-2
+        ).squeeze(-2)
+    msg = f"unknown pooling_mode: {mode}"
+    raise ValueError(msg)
+
+
+def transformer_encode(
+    params: Params,
+    cfg: ModelConfig,
+    input_embeds: jax.Array,
+    attention_mask: jax.Array | None = None,
+    *,
+    dropout_rng: jax.Array | None = None,
+) -> dict[str, jax.Array]:
+    """Encode a batch of embedding sequences.
+
+    Args:
+        params: pytree from :func:`init_transformer_params`.
+        cfg: model config.
+        input_embeds: ``(batch, seq, input_dim)`` float array.  Sequences
+            longer than ``cfg.max_seq_length`` must be pre-truncated by the
+            caller (the recommender model truncates to the LAST window,
+            parity with ``xfmr_rec/models.py:334-337``).
+        attention_mask: optional ``(batch, seq)`` bool.  When ``None`` it is
+            derived as "any nonzero component" exactly like the reference
+            (``xfmr_rec/models.py:343``).
+        dropout_rng: when provided, dropout is active (training mode).
+
+    Returns:
+        dict with ``token_embeddings`` ``(B, S, D)`` float32,
+        ``sentence_embedding`` ``(B, D)`` float32, ``attention_mask``
+        ``(B, S)`` bool.
+    """
+    if attention_mask is None:
+        attention_mask = jnp.any(input_embeds != 0, axis=-1)
+    attention_mask = attention_mask.astype(jnp.bool_)
+
+    s = input_embeds.shape[-2]
+    if s > cfg.max_seq_length:
+        msg = f"sequence length {s} exceeds max_seq_length {cfg.max_seq_length}"
+        raise ValueError(msg)
+    dtype = jnp.dtype(cfg.compute_dtype)
+
+    n_layers = cfg.num_hidden_layers
+    if dropout_rng is not None:
+        rngs = list(jax.random.split(dropout_rng, 1 + 3 * n_layers))
+    else:
+        rngs = [None] * (1 + 3 * n_layers)
+
+    x = input_embeds
+    if "input_proj" in params:
+        x = _dense(x, params["input_proj"], dtype)
+    x = x + params["pos_embed"][:s]
+    x = _layer_norm(x, params["embed_ln"], cfg.layer_norm_eps)
+    x = _dropout(x, cfg.hidden_dropout, rngs[0])
+
+    for i, layer in enumerate(params["layers"]):
+        attn = _attention(x, layer, cfg, attention_mask, rngs[1 + 3 * i])
+        attn = _dropout(attn, cfg.hidden_dropout, rngs[2 + 3 * i])
+        x = _layer_norm(x + attn, layer["ln1"], cfg.layer_norm_eps)
+        ffn = _ffn(x, layer, cfg)
+        ffn = _dropout(ffn, cfg.hidden_dropout, rngs[3 + 3 * i])
+        x = _layer_norm(x + ffn, layer["ln2"], cfg.layer_norm_eps)
+
+    token_embeddings = x.astype(jnp.float32)
+    sentence_embedding = pool_tokens(token_embeddings, attention_mask, cfg.pooling_mode)
+    if cfg.is_normalized:
+        sentence_embedding = sentence_embedding / jnp.clip(
+            jnp.linalg.norm(sentence_embedding, axis=-1, keepdims=True), min=1e-12
+        )
+    return {
+        "token_embeddings": token_embeddings,
+        "sentence_embedding": sentence_embedding,
+        "attention_mask": attention_mask,
+    }
