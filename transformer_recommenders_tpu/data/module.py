@@ -1,0 +1,176 @@
+"""Data module: artifacts -> frozen embeddings -> train sampler + eval arrays.
+
+Parity: ``xfmr_rec/data.py:808-939`` (``SeqDataModule``): prepare under a
+file lock, load items parquet, compute frozen item-text embeddings once,
+build the train dataset from ``is_train`` users and per-split user views.
+
+TPU re-design of the eval side: the reference iterates val/test/predict
+users ONE ROW AT A TIME through torch DataLoaders with ``batch_size=None``
+(``data.py:889-939``) and runs a host ANN per user; here each split is
+materialized once into padded device-ready arrays (full history for
+exclusion, last-window for encoding, deduped targets) so the whole eval
+runs as a few jitted batches (see ``training/evaluator.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+
+import numpy as np
+import pandas as pd
+
+from transformer_recommenders_tpu.configs import SeqDataModuleConfig
+from transformer_recommenders_tpu.data import movielens, synthetic
+from transformer_recommenders_tpu.data.dataset import SeqData
+from transformer_recommenders_tpu.data.embeddings import embed_item_texts
+
+
+@dataclasses.dataclass
+class EvalArrays:
+    """Padded fixed-shape arrays for one eval split (U users)."""
+
+    user_ids: list[str]
+    history_full: np.ndarray  # (U, Hmax) int32, 0-padded; for exclusion masks
+    history_window: np.ndarray  # (U, S) int32; last window, for encoding
+    targets: np.ndarray  # (U, Tmax) int32 deduped target idx, 0-padded
+    n_targets: np.ndarray  # (U,) int32 — number of DISTINCT target ids
+
+    def __len__(self) -> int:
+        return len(self.user_ids)
+
+
+class SeqDataModule:
+    def __init__(self, config: SeqDataModuleConfig) -> None:
+        self.config = SeqDataModuleConfig.model_validate(config)
+        self.items: pd.DataFrame | None = None
+        self.users: pd.DataFrame | None = None
+        self.item_embeddings: np.ndarray | None = None
+        self.train_data: SeqData | None = None
+
+    # -- prepare / setup -----------------------------------------------------
+
+    @property
+    def dataset_dir(self) -> pathlib.Path:
+        return pathlib.Path(self.config.data_dir, self.config.dataset)
+
+    def prepare_data(self, *, overwrite: bool = False) -> None:
+        """Create parquet artifacts (FileLock-serialized like
+        ``xfmr_rec/data.py:821-836``)."""
+        from filelock import FileLock
+
+        data_dir = self.config.data_dir
+        pathlib.Path(data_dir).mkdir(parents=True, exist_ok=True)
+        with FileLock(f"{data_dir}.lock"):
+            if (self.dataset_dir / "users.parquet").exists() and not overwrite:
+                return
+            if self.config.dataset == "synthetic":
+                synthetic.prepare_synthetic(
+                    data_dir,
+                    num_users=self.config.synthetic_num_users,
+                    num_items=self.config.synthetic_num_items,
+                    num_events=self.config.synthetic_num_events,
+                    seed=self.config.seed,
+                    overwrite=overwrite,
+                )
+            else:
+                url = {
+                    "ml-1m": movielens.MOVIELENS_1M_URL,
+                    "ml-100k": "https://files.grouplens.org/datasets/movielens/ml-100k.zip",
+                    "ml-25m": "https://files.grouplens.org/datasets/movielens/ml-25m.zip",
+                }[self.config.dataset]
+                movielens.download_unpack_data(url, data_dir, overwrite=overwrite)
+                movielens.prepare_movielens(
+                    data_dir, self.config.dataset, overwrite=overwrite
+                )
+
+    def setup(self) -> None:
+        """Load artifacts and compute the frozen item embeddings once
+        (parity: ``xfmr_rec/data.py:838-887``)."""
+        if self.items is None:
+            self.items = pd.read_parquet(self.dataset_dir / "items.parquet")
+            self.item_embeddings = embed_item_texts(
+                self.items["item_text"].tolist(),
+                embedder=self.config.embedder,
+                dim=self.config.embedding_dim,
+                model_name=self.config.pretrained_model_name,
+            )
+        if self.users is None:
+            self.users = pd.read_parquet(self.dataset_dir / "users.parquet")
+        if self.train_data is None:
+            train_users = self.users[self.users["is_train"]]
+            histories = [
+                (np.asarray(h["item_id"]), np.asarray(h["label"], bool))
+                for h in train_users["history"]
+            ]
+            self.train_data = SeqData(
+                self.config,
+                item_ids=self.item_ids,
+                histories=histories,
+                seed=self.config.seed,
+            )
+
+    @property
+    def item_ids(self) -> list[str]:
+        assert self.items is not None
+        return self.items["item_id"].tolist()
+
+    # -- train side ----------------------------------------------------------
+
+    def train_batches(self, epoch: int, *, drop_remainder: bool = False):
+        assert self.train_data is not None, "call setup() first"
+        return self.train_data.epoch_batches(
+            epoch, self.config.batch_size, drop_remainder=drop_remainder
+        )
+
+    # -- eval side -----------------------------------------------------------
+
+    def eval_arrays(self, split: str) -> EvalArrays:
+        """Build padded arrays for ``split`` in {"val", "test", "predict"}.
+
+        Target set per user = DISTINCT positive-labeled non-train item ids
+        (parity: ``xfmr_rec/trainer.py:280-284``, set() dedup in
+        ``xfmr_rec/metrics.py:70``).  ``n_targets`` counts distinct ids even
+        if absent from the item vocabulary (they can never be hit — exactly
+        like the reference's string-membership protocol).
+        """
+        assert self.users is not None and self.train_data is not None
+        flag = {"val": "is_val", "test": "is_test", "predict": "is_predict"}[split]
+        rows = self.users[self.users[flag]]
+        id2idx = self.train_data.id2idx
+        s = self.config.max_seq_length
+
+        user_ids, hists, targets, n_targets = [], [], [], []
+        for _, row in rows.iterrows():
+            user_ids.append(row["user_id"])
+            hist_ids = [i for i in row["history"]["item_id"] if i in id2idx]
+            hists.append(np.asarray([id2idx[i] for i in hist_ids], np.int32))
+            t = row["target"]
+            distinct = list(
+                dict.fromkeys(
+                    i for i, lab in zip(t["item_id"], t["label"]) if lab
+                )
+            )
+            n_targets.append(len(distinct))
+            targets.append(
+                np.asarray([id2idx[i] for i in distinct if i in id2idx], np.int32)
+            )
+
+        u = len(user_ids)
+        h_max = max((len(h) for h in hists), default=1) or 1
+        t_max = max((len(t) for t in targets), default=1) or 1
+        history_full = np.zeros((u, h_max), np.int32)
+        history_window = np.zeros((u, s), np.int32)
+        target_arr = np.zeros((u, t_max), np.int32)
+        for i, (h, t) in enumerate(zip(hists, targets)):
+            history_full[i, : len(h)] = h
+            w = h[-s:]
+            history_window[i, : len(w)] = w
+            target_arr[i, : len(t)] = t
+        return EvalArrays(
+            user_ids=user_ids,
+            history_full=history_full,
+            history_window=history_window,
+            targets=target_arr,
+            n_targets=np.asarray(n_targets, np.int32),
+        )

@@ -1,0 +1,402 @@
+"""MovieLens ETL: download, parse, split, process to parquet (host-side).
+
+Parity: ``xfmr_rec/data.py:37-513`` — identical artifact schema and split
+semantics, re-implemented on pandas/pyarrow (no polars in this
+environment).  Differences by design:
+
+- supports ml-100k and ml-25m in addition to ml-1m (BASELINE.json configs);
+- ``datetime`` is stored as int64 epoch seconds (renders identically
+  through the JSON service surface);
+- per-user ``history``/``target`` are struct-of-list columns exactly like
+  the reference (``xfmr_rec/data.py:445-487``).
+
+The TPU design keeps this layer entirely on host: parquet feeds the padded
+fixed-shape batch samplers in ``data/dataset.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import shutil
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from transformer_recommenders_tpu.params import DATA_DIR, MOVIELENS_1M_URL
+
+ACTIVITY_COLS = ["datetime", "event_name", "event_value", "label", "item_id", "item_text"]
+
+
+# ---------------------------------------------------------------------------
+# download (works only with egress; tests use the synthetic generator)
+# ---------------------------------------------------------------------------
+
+
+def download_data(
+    url: str = MOVIELENS_1M_URL, dest_dir: str = DATA_DIR, *, overwrite: bool = False
+) -> pathlib.Path:
+    """Stream the archive to ``dest_dir``; idempotent unless ``overwrite``.
+    Parity: ``xfmr_rec/data.py:37-74``."""
+    import httpx
+
+    dest = pathlib.Path(dest_dir, pathlib.Path(url).name)
+    dest.parent.mkdir(parents=True, exist_ok=True)
+    if not dest.exists() or overwrite:
+        with httpx.stream("GET", url, follow_redirects=True) as resp:
+            resp.raise_for_status()
+            with tempfile.NamedTemporaryFile(delete=False, dir=dest.parent) as f:
+                for chunk in resp.iter_bytes():
+                    f.write(chunk)
+            pathlib.Path(f.name).rename(dest)
+    return dest
+
+
+def unpack_data(archive_file: str | pathlib.Path, *, overwrite: bool = False) -> list[str]:
+    """Unpack next to the archive.  Parity: ``xfmr_rec/data.py:77-104``."""
+    archive_file = pathlib.Path(archive_file)
+    dest_dir = archive_file.parent / archive_file.stem
+    if not dest_dir.exists() or overwrite:
+        shutil.unpack_archive(archive_file, dest_dir.parent)
+    return [p.name for p in dest_dir.iterdir()]
+
+
+def download_unpack_data(
+    url: str = MOVIELENS_1M_URL, dest_dir: str = DATA_DIR, *, overwrite: bool = False
+) -> list[str]:
+    """Parity: ``xfmr_rec/data.py:107-124``."""
+    return unpack_data(download_data(url, dest_dir, overwrite=overwrite), overwrite=overwrite)
+
+
+# ---------------------------------------------------------------------------
+# raw loaders  (parity: xfmr_rec/data.py:132-253)
+# ---------------------------------------------------------------------------
+
+
+def load_items(src_dir: str = DATA_DIR, dataset: str = "ml-1m") -> pd.DataFrame:
+    """Items with JSON ``item_text`` = {"title", "genres"}.
+    Parity: ``xfmr_rec/data.py:132-166``."""
+    root = pathlib.Path(src_dir, dataset)
+    if dataset == "ml-1m":
+        df = pd.read_csv(
+            root / "movies.dat",
+            sep="::",
+            header=None,
+            names=["item_id", "title", "genres"],
+            dtype=str,
+            engine="python",
+            encoding="iso-8859-1",
+        )
+        genres = df["genres"].str.split("|")
+    elif dataset == "ml-100k":
+        cols = ["item_id", "title", "release", "video_release", "imdb"] + [
+            f"g{i}" for i in range(19)
+        ]
+        df = pd.read_csv(
+            root / "u.item",
+            sep="|",
+            header=None,
+            names=cols,
+            dtype=str,
+            encoding="iso-8859-1",
+        )
+        genre_names = [
+            "unknown", "Action", "Adventure", "Animation", "Children's", "Comedy",
+            "Crime", "Documentary", "Drama", "Fantasy", "Film-Noir", "Horror",
+            "Musical", "Mystery", "Romance", "Sci-Fi", "Thriller", "War", "Western",
+        ]
+        flags = df[[f"g{i}" for i in range(19)]].astype(int).to_numpy()
+        genres = pd.Series(
+            [[genre_names[i] for i in np.flatnonzero(row)] for row in flags],
+            index=df.index,
+        )
+    elif dataset == "ml-25m":
+        df = pd.read_csv(root / "movies.csv", dtype=str).rename(
+            columns={"movieId": "item_id"}
+        )
+        genres = df["genres"].str.split("|")
+    else:
+        msg = f"unknown dataset: {dataset}"
+        raise ValueError(msg)
+
+    item_text = [
+        json.dumps({"title": t, "genres": g}, separators=(",", ":"))
+        for t, g in zip(df["title"], genres)
+    ]
+    return pd.DataFrame({"item_id": df["item_id"], "item_text": item_text})
+
+
+def load_users(src_dir: str = DATA_DIR, dataset: str = "ml-1m") -> pd.DataFrame:
+    """Users with JSON ``user_text`` demographics.
+    Parity: ``xfmr_rec/data.py:169-210`` (ml-25m publishes no demographics ->
+    empty JSON)."""
+    root = pathlib.Path(src_dir, dataset)
+    if dataset == "ml-1m":
+        df = pd.read_csv(
+            root / "users.dat",
+            sep="::",
+            header=None,
+            names=["user_id", "gender", "age", "occupation", "zipcode"],
+            dtype={"user_id": str, "gender": str, "age": int, "occupation": int, "zipcode": str},
+            engine="python",
+        )
+        user_text = [
+            json.dumps(
+                {"gender": g, "age": int(a), "occupation": int(o), "zipcode": z},
+                separators=(",", ":"),
+            )
+            for g, a, o, z in zip(df["gender"], df["age"], df["occupation"], df["zipcode"])
+        ]
+        return pd.DataFrame({"user_id": df["user_id"], "user_text": user_text})
+    if dataset == "ml-100k":
+        df = pd.read_csv(
+            root / "u.user",
+            sep="|",
+            header=None,
+            names=["user_id", "age", "gender", "occupation", "zipcode"],
+            dtype={"user_id": str, "age": int, "gender": str, "occupation": str, "zipcode": str},
+        )
+        user_text = [
+            json.dumps(
+                {"gender": g, "age": int(a), "occupation": o, "zipcode": z},
+                separators=(",", ":"),
+            )
+            for g, a, o, z in zip(df["gender"], df["age"], df["occupation"], df["zipcode"])
+        ]
+        return pd.DataFrame({"user_id": df["user_id"], "user_text": user_text})
+    if dataset == "ml-25m":
+        ratings = pd.read_csv(root / "ratings.csv", usecols=["userId"], dtype=str)
+        user_ids = ratings["userId"].unique()
+        return pd.DataFrame({"user_id": user_ids, "user_text": "{}"})
+    msg = f"unknown dataset: {dataset}"
+    raise ValueError(msg)
+
+
+def load_events(src_dir: str = DATA_DIR, dataset: str = "ml-1m") -> pd.DataFrame:
+    """Rating events: user_id, item_id, event_value, datetime (epoch s),
+    event_name="rating", label=True.  Parity: ``xfmr_rec/data.py:213-253``
+    (note: EVERY rating is a positive in the reference)."""
+    root = pathlib.Path(src_dir, dataset)
+    if dataset == "ml-1m":
+        df = pd.read_csv(
+            root / "ratings.dat",
+            sep="::",
+            header=None,
+            names=["user_id", "item_id", "event_value", "datetime"],
+            dtype={"user_id": str, "item_id": str, "event_value": np.int32, "datetime": np.int64},
+            engine="python",
+        )
+    elif dataset == "ml-100k":
+        df = pd.read_csv(
+            root / "u.data",
+            sep="\t",
+            header=None,
+            names=["user_id", "item_id", "event_value", "datetime"],
+            dtype={"user_id": str, "item_id": str, "event_value": np.int32, "datetime": np.int64},
+        )
+    elif dataset == "ml-25m":
+        df = pd.read_csv(
+            root / "ratings.csv",
+            dtype={"userId": str, "movieId": str, "rating": np.float32, "timestamp": np.int64},
+        ).rename(
+            columns={"userId": "user_id", "movieId": "item_id", "rating": "event_value", "timestamp": "datetime"}
+        )
+    else:
+        msg = f"unknown dataset: {dataset}"
+        raise ValueError(msg)
+    df["event_name"] = "rating"
+    df["label"] = True
+    return df
+
+
+# ---------------------------------------------------------------------------
+# split + processing  (parity: xfmr_rec/data.py:261-513)
+# ---------------------------------------------------------------------------
+
+
+def train_test_split(
+    events: pd.DataFrame,
+    *,
+    group_col: str = "user_id",
+    order_col: str = "datetime",
+    train_prop: float = 0.8,
+    val_prop: float = 0.2,
+) -> pd.DataFrame:
+    """Per-user temporal split.  Parity: ``xfmr_rec/data.py:261-321``:
+
+    - within each user, rank events by time (min rank for ties);
+      the earliest ``train_prop`` fraction -> train;
+    - users are ranked by their leftover (non-train) event count; the top
+      ``val_prop`` of those users contribute the val set, the rest test;
+    - ``is_predict`` is always True.
+    """
+    events = events.copy()
+    rank = events.groupby(group_col)[order_col].rank(method="min") - 1
+    count = events.groupby(group_col)[order_col].transform("count")
+    events["is_train"] = (rank / count) < train_prop
+
+    leftover = events.loc[~events["is_train"]].groupby(group_col).size()
+    if len(leftover) > 0:
+        user_rank = (leftover.rank(method="min") - 1) / len(leftover)
+        val_users = set(user_rank.index[user_rank >= 1 - val_prop])
+    else:
+        val_users = set()
+    in_val_user = events[group_col].isin(val_users)
+    events["is_val"] = ~events["is_train"] & in_val_user
+    events["is_test"] = ~events["is_train"] & ~in_val_user
+    events["is_predict"] = True
+    return events
+
+
+def process_events(
+    events: pd.DataFrame,
+    items: pd.DataFrame,
+    users: pd.DataFrame,
+    *,
+    out_dir: pathlib.Path,
+    overwrite: bool = False,
+) -> pd.DataFrame:
+    """Join events x items x users -> events.parquet.
+    Parity: ``xfmr_rec/data.py:324-368``."""
+    out = out_dir / "events.parquet"
+    if out.exists() and not overwrite:
+        return pd.read_parquet(out)
+    df = events.merge(items, on="item_id", how="left").merge(
+        users, on="user_id", how="left"
+    )
+    out_dir.mkdir(parents=True, exist_ok=True)
+    df.to_parquet(out, index=False)
+    return df
+
+
+def process_items(
+    items: pd.DataFrame,
+    events: pd.DataFrame,
+    *,
+    out_dir: pathlib.Path,
+    overwrite: bool = False,
+) -> pd.DataFrame:
+    """items.parquet with an any(is_train) flag.
+    Parity: ``xfmr_rec/data.py:371-411``."""
+    out = out_dir / "items.parquet"
+    if out.exists() and not overwrite:
+        return pd.read_parquet(out)
+    items_train = events.groupby("item_id")["is_train"].any().rename("is_train")
+    df = items.merge(items_train, on="item_id", how="left")
+    df["is_train"] = df["is_train"].fillna(False).astype(bool)
+    df["is_val"] = True
+    df["is_test"] = True
+    df["is_predict"] = True
+    out_dir.mkdir(parents=True, exist_ok=True)
+    df.to_parquet(out, index=False)
+    return df
+
+
+def _activity_struct_type() -> pa.DataType:
+    return pa.struct(
+        [
+            ("datetime", pa.list_(pa.int64())),
+            ("event_name", pa.list_(pa.string())),
+            ("event_value", pa.list_(pa.float64())),
+            ("label", pa.list_(pa.bool_())),
+            ("item_id", pa.list_(pa.string())),
+            ("item_text", pa.list_(pa.string())),
+        ]
+    )
+
+
+def process_users(
+    users: pd.DataFrame,
+    events: pd.DataFrame,
+    *,
+    out_dir: pathlib.Path,
+    overwrite: bool = False,
+) -> pd.DataFrame:
+    """users.parquet with per-user ``history`` (train events) and ``target``
+    (non-train events) struct-of-lists sorted by time.
+    Parity: ``xfmr_rec/data.py:414-487``."""
+    out = out_dir / "users.parquet"
+    if out.exists() and not overwrite:
+        return pd.read_parquet(out)
+
+    events = events.sort_values(["user_id", "datetime"], kind="stable")
+
+    def _pack(group: pd.DataFrame) -> dict[str, list]:
+        return {
+            "datetime": group["datetime"].astype(np.int64).tolist(),
+            "event_name": group["event_name"].tolist(),
+            "event_value": group["event_value"].astype(float).tolist(),
+            "label": group["label"].astype(bool).tolist(),
+            "item_id": group["item_id"].tolist(),
+            "item_text": group["item_text"].tolist(),
+        }
+
+    records: dict[str, dict] = {}
+    for user_id, group in events.groupby("user_id", sort=False):
+        train_mask = group["is_train"].to_numpy()
+        records[user_id] = {
+            "history": _pack(group.loc[train_mask]),
+            "target": _pack(group.loc[~train_mask]),
+            "is_train": bool(group["is_train"].any()),
+            "is_val": bool(group["is_val"].any()),
+            "is_test": bool(group["is_test"].any()),
+            "is_predict": True,
+        }
+
+    empty = _pack(events.iloc[0:0])
+    rows = []
+    for _, user in users.iterrows():
+        rec = records.get(
+            user["user_id"],
+            {"history": empty, "target": empty, "is_train": False, "is_val": False,
+             "is_test": False, "is_predict": True},
+        )
+        rows.append({"user_id": user["user_id"], "user_text": user["user_text"], **rec})
+
+    table = pa.Table.from_arrays(
+        [
+            pa.array([r["user_id"] for r in rows], pa.string()),
+            pa.array([r["user_text"] for r in rows], pa.string()),
+            pa.array([r["history"] for r in rows], _activity_struct_type()),
+            pa.array([r["target"] for r in rows], _activity_struct_type()),
+            pa.array([r["is_train"] for r in rows], pa.bool_()),
+            pa.array([r["is_val"] for r in rows], pa.bool_()),
+            pa.array([r["is_test"] for r in rows], pa.bool_()),
+            pa.array([r["is_predict"] for r in rows], pa.bool_()),
+        ],
+        names=["user_id", "user_text", "history", "target", "is_train", "is_val",
+               "is_test", "is_predict"],
+    )
+    out_dir.mkdir(parents=True, exist_ok=True)
+    pq.write_table(table, out)
+    return pd.read_parquet(out)
+
+
+def prepare_movielens(
+    src_dir: str = DATA_DIR,
+    dataset: str = "ml-1m",
+    *,
+    overwrite: bool = False,
+    raw: tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame] | None = None,
+) -> pd.DataFrame:
+    """Run the full ETL.  Parity: ``xfmr_rec/data.py:490-513``.
+
+    ``raw`` lets callers inject pre-built (items, users, events) frames —
+    used by the synthetic generator to reuse the exact split/processing
+    pipeline.
+    """
+    out_dir = pathlib.Path(src_dir, dataset)
+    if raw is not None:
+        items, users, events = raw
+    else:
+        items = load_items(src_dir, dataset)
+        users = load_users(src_dir, dataset)
+        events = load_events(src_dir, dataset)
+    events = train_test_split(events)
+    events = process_events(events, items, users, out_dir=out_dir, overwrite=overwrite)
+    process_items(items, events, out_dir=out_dir, overwrite=overwrite)
+    process_users(users, events, out_dir=out_dir, overwrite=overwrite)
+    return events

@@ -1,0 +1,81 @@
+"""On-device MIPS retrieval: scoring + exclusion + top-k.
+
+Replaces the reference's host-side ANN (LanceDB IVF_HNSW_PQ,
+``xfmr_rec/index.py:184-255``) with exact brute-force maximum-inner-product
+search on device: one (U, D) x (D, N) MXU matmul, exclusion masking via
+out-of-range scatter, and ``jax.lax.top_k``.  Exact search beats ANN on TPU
+for catalogs up to ~10^7 items (SURVEY.md §2.2) and removes the reference's
+per-user host round-trip (``xfmr_rec/trainer.py:266-316``).
+
+The sharded variant (column-sharded catalog + per-shard top-k + all-gather
+merge) lives in ``parallel/topk_sharded.py``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = jnp.float32(-jnp.inf)
+
+
+def score_items(
+    queries: jax.Array,
+    item_embeddings: jax.Array,
+    *,
+    metric: str = "cosine",
+) -> jax.Array:
+    """Scores of every catalog item for each query.
+
+    Args:
+        queries: (U, D) float.
+        item_embeddings: (N, D) float — catalog WITHOUT the padding row.
+        metric: "cosine" (reference LanceIndex default,
+            ``xfmr_rec/index.py:35-47``; score = cosine similarity, matching
+            the reference's 1 - cosine_distance) or "dot".
+
+    Returns:
+        (U, N) float32 scores.
+    """
+    q = queries.astype(jnp.float32)
+    t = item_embeddings.astype(jnp.float32)
+    if metric == "cosine":
+        q = q / jnp.clip(jnp.linalg.norm(q, axis=-1, keepdims=True), min=1e-12)
+        t = t / jnp.clip(jnp.linalg.norm(t, axis=-1, keepdims=True), min=1e-12)
+    return jnp.dot(q, t.T, preferred_element_type=jnp.float32)
+
+
+def mask_excluded(scores: jax.Array, exclude_idx: jax.Array) -> jax.Array:
+    """Set scores of excluded items to -inf.
+
+    Args:
+        scores: (U, N) — column j scores item with item-idx j+1.
+        exclude_idx: (U, H) int32 item indices (1-based; 0 = padding).
+            Padding entries are routed to an out-of-range column and
+            dropped by the scatter, so item 0 is never accidentally masked.
+    """
+    n = scores.shape[-1]
+    cols = jnp.where(exclude_idx > 0, exclude_idx - 1, n)
+    rows = jnp.arange(scores.shape[0])[:, None]
+    return scores.at[rows, cols].set(_NEG_INF, mode="drop")
+
+
+def topk_items(
+    queries: jax.Array,
+    item_embeddings: jax.Array,
+    k: int,
+    *,
+    exclude_idx: jax.Array | None = None,
+    metric: str = "cosine",
+) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k retrieval with exclusion.
+
+    Returns (scores (U, k) f32, item_idx (U, k) int32 1-based).
+    Parity: ``LanceIndex.search`` semantics (``xfmr_rec/index.py:214-255``)
+    — prefilter excluded ids, return k best by cosine score.
+    """
+    scores = score_items(queries, item_embeddings, metric=metric)
+    if exclude_idx is not None:
+        scores = mask_excluded(scores, exclude_idx)
+    top_scores, top_cols = jax.lax.top_k(scores, k)
+    return top_scores, (top_cols + 1).astype(jnp.int32)

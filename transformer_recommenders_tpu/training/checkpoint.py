@@ -1,0 +1,63 @@
+"""Checkpoint/resume for the train state.
+
+Parity: Lightning auto-``ModelCheckpoint`` monitoring
+``val/retrieval_normalized_dcg`` (max) + resume via ``ckpt_path``
+(``xfmr_rec/trainer.py:334-341``, SURVEY.md §5.4).  Like the reference,
+the frozen item-embedding table is NOT checkpointed (reference pops it from
+``state_dict``, trainer.py:352-362); it is regenerated from the items
+dataset on load.
+
+Format: flat npz of pytree leaves + a JSON sidecar with step/epoch/metric.
+The leaf order is the deterministic ``jax.tree`` flatten order of a state
+template built from the config, so restore needs no stored treedef.  A
+sharded orbax backend can replace this for multi-host runs.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+from typing import Any
+
+import jax
+import numpy as np
+
+from transformer_recommenders_tpu.training.train_state import TrainState
+
+
+def save_checkpoint(
+    path: str | pathlib.Path,
+    state: TrainState,
+    *,
+    epoch: int,
+    metrics: dict[str, float] | None = None,
+) -> None:
+    path = pathlib.Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    leaves = jax.tree.leaves(state)
+    np.savez(path / "state.npz", **{f"leaf{i}": np.asarray(x) for i, x in enumerate(leaves)})
+    meta = {"epoch": epoch, "step": int(state.step), "metrics": metrics or {}}
+    (path / "meta.json").write_text(json.dumps(meta, indent=2))
+
+
+def load_checkpoint(
+    path: str | pathlib.Path, template: TrainState
+) -> tuple[TrainState, dict[str, Any]]:
+    path = pathlib.Path(path)
+    treedef = jax.tree.structure(template)
+    with np.load(path / "state.npz") as data:
+        leaves = [jax.numpy.asarray(data[f"leaf{i}"]) for i in range(len(data.files))]
+    state = jax.tree.unflatten(treedef, leaves)
+    meta = json.loads((path / "meta.json").read_text())
+    return state, meta
+
+
+def latest_checkpoint(ckpt_dir: str | pathlib.Path) -> pathlib.Path | None:
+    ckpt_dir = pathlib.Path(ckpt_dir)
+    if not ckpt_dir.exists():
+        return None
+    candidates = sorted(
+        (p for p in ckpt_dir.iterdir() if (p / "state.npz").exists()),
+        key=lambda p: p.stat().st_mtime,
+    )
+    return candidates[-1] if candidates else None

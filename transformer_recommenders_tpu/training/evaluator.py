@@ -1,0 +1,136 @@
+"""Batched on-device retrieval evaluation.
+
+Replaces the reference's per-user eval loop — encode one user, host ANN
+query, python metrics (``xfmr_rec/trainer.py:266-316``, SURVEY.md §3.3,
+"the reference's biggest eval inefficiency") — with whole-batch device
+passes: encode B user windows, score the full catalog with one MXU matmul,
+mask each user's history, top-k, compare against padded target sets, and
+reduce the seven retrieval metrics, all inside one jit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transformer_recommenders_tpu.configs import TrainConfig
+from transformer_recommenders_tpu.data.module import EvalArrays
+from transformer_recommenders_tpu.models.recommender import model_forward
+from transformer_recommenders_tpu.ops.metrics import retrieval_metrics
+from transformer_recommenders_tpu.ops.topk import mask_excluded, score_items
+
+
+def make_eval_step(config: TrainConfig):
+    """Jitted per-batch eval: returns per-user metric arrays + rec ids."""
+
+    @functools.partial(jax.jit, static_argnames=("return_recs",))
+    def eval_step(
+        params,
+        item_table,
+        history_window,  # (B, S) int32
+        history_full,  # (B, H) int32
+        targets,  # (B, T) int32
+        n_targets,  # (B,) int32
+        *,
+        return_recs: bool = False,
+    ):
+        out = model_forward(params, config, item_table, history_window)
+        queries = out["sentence_embedding"]  # (B, D)
+        scores = score_items(queries, item_table[1:], metric="cosine")
+        scores = mask_excluded(scores, history_full)
+        top_scores, top_cols = jax.lax.top_k(scores, config.top_k)
+        top_idx = (top_cols + 1).astype(jnp.int32)  # 1-based item idx
+
+        # rel[b, k] = rec k is one of user b's (non-padding) targets
+        rel = jnp.any(
+            (top_idx[:, :, None] == targets[:, None, :]) & (targets[:, None, :] > 0),
+            axis=-1,
+        )
+        metrics = retrieval_metrics(rel, n_targets, config.top_k)
+        if return_recs:
+            return metrics, top_idx, top_scores
+        return metrics
+
+    return eval_step
+
+
+class Evaluator:
+    def __init__(self, config: TrainConfig) -> None:
+        self.config = config
+        self._eval_step = make_eval_step(config)
+
+    def run(
+        self,
+        params,
+        item_table,
+        arrays: EvalArrays,
+        *,
+        stage: str = "val",
+    ) -> dict[str, float]:
+        """Evaluate a split; mean over users with >=1 target (parity:
+        ``xfmr_rec/metrics.py:62-63`` skip + Lightning mean aggregation)."""
+        b = self.config.eval_batch_size
+        u = len(arrays)
+        sums: dict[str, float] = {}
+        count = 0.0
+        for lo in range(0, u, b):
+            sl = slice(lo, min(lo + b, u))
+            hw, hf, tg, nt = (
+                arrays.history_window[sl],
+                arrays.history_full[sl],
+                arrays.targets[sl],
+                arrays.n_targets[sl],
+            )
+            pad = b - hw.shape[0]
+            if pad:  # zero-padded users have n_targets == 0 -> excluded
+                hw = np.pad(hw, ((0, pad), (0, 0)))
+                hf = np.pad(hf, ((0, pad), (0, 0)))
+                tg = np.pad(tg, ((0, pad), (0, 0)))
+                nt = np.pad(nt, (0, pad))
+            metrics = self._eval_step(params, item_table, hw, hf, tg, nt)
+            valid = np.asarray(metrics["valid"], np.float32)
+            count += float(valid.sum())
+            for name, values in metrics.items():
+                if name == "valid":
+                    continue
+                sums[name] = sums.get(name, 0.0) + float(
+                    np.sum(np.asarray(values) * valid)
+                )
+        denom = max(count, 1.0)
+        return {f"{stage}/{k}": v / denom for k, v in sums.items()}
+
+    def recommend_batch(
+        self, params, item_table, arrays: EvalArrays
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k recommendations for every user in ``arrays`` (predict path,
+        parity: ``xfmr_rec/trainer.py:307-316`` — history excluded).
+
+        Returns (item_idx (U, k) int32 1-based, scores (U, k) f32).
+        """
+        b = self.config.eval_batch_size
+        u = len(arrays)
+        all_idx, all_scores = [], []
+        for lo in range(0, u, b):
+            sl = slice(lo, min(lo + b, u))
+            hw, hf, tg, nt = (
+                arrays.history_window[sl],
+                arrays.history_full[sl],
+                arrays.targets[sl],
+                arrays.n_targets[sl],
+            )
+            pad = b - hw.shape[0]
+            if pad:
+                hw = np.pad(hw, ((0, pad), (0, 0)))
+                hf = np.pad(hf, ((0, pad), (0, 0)))
+                tg = np.pad(tg, ((0, pad), (0, 0)))
+                nt = np.pad(nt, (0, pad))
+            _, top_idx, top_scores = self._eval_step(
+                params, item_table, hw, hf, tg, nt, return_recs=True
+            )
+            n_real = min(b, u - lo)
+            all_idx.append(np.asarray(top_idx)[:n_real])
+            all_scores.append(np.asarray(top_scores)[:n_real])
+        return np.concatenate(all_idx), np.concatenate(all_scores)

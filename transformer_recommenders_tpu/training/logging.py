@@ -1,0 +1,60 @@
+"""Experiment logging: JSONL + CSV + stdout.
+
+Parity target: the reference's dual TensorBoard/MLflow loggers with rich
+per-step scalars (``xfmr_rec/trainer.py:419-463``, SURVEY.md §5.5).  Here a
+dependency-free host logger writes ``metrics.jsonl`` (one record per log
+call) and ``metrics.csv``, and mirrors a compact line to stdout.  A
+TensorBoard writer can be layered on when the package is present.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import pathlib
+import time
+
+
+class MetricsLogger:
+    def __init__(self, log_dir: str | pathlib.Path, *, echo: bool = True) -> None:
+        self.log_dir = pathlib.Path(log_dir)
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+        self._jsonl = open(self.log_dir / "metrics.jsonl", "a", buffering=1)
+        self._csv_path = self.log_dir / "metrics.csv"
+        self._csv_fields: list[str] | None = None
+        self._echo = echo
+        self._t0 = time.time()
+
+    def log(self, metrics: dict[str, float], *, step: int, prefix: str = "") -> None:
+        record = {
+            "step": step,
+            "time": round(time.time() - self._t0, 3),
+            **{f"{prefix}{k}": _to_float(v) for k, v in metrics.items()},
+        }
+        self._jsonl.write(json.dumps(record) + "\n")
+        self._write_csv(record)
+        if self._echo:
+            shown = {
+                k: round(v, 4)
+                for k, v in record.items()
+                if k not in {"time"} and ("loss/" in k or "retrieval" in k or k == "step")
+            }
+            print(f"[metrics] {shown}", flush=True)
+
+    def _write_csv(self, record: dict) -> None:
+        if self._csv_fields is None:
+            self._csv_fields = list(record)
+            with open(self._csv_path, "a", newline="") as f:
+                csv.DictWriter(f, self._csv_fields).writeheader()
+        with open(self._csv_path, "a", newline="") as f:
+            csv.DictWriter(f, self._csv_fields, extrasaction="ignore").writerow(record)
+
+    def close(self) -> None:
+        self._jsonl.close()
+
+
+def _to_float(v) -> float:
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return float("nan")

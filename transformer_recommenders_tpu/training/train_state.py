@@ -1,0 +1,117 @@
+"""Train state + jitted train step.
+
+Replaces the Lightning training machinery (``xfmr_rec/trainer.py:118-341``)
+with a jit-compiled functional step:
+
+- AdamW over all trainable params (parity: ``xfmr_rec/trainer.py:327-332``;
+  torch AdamW decays every param by default, as does optax.adamw);
+- the backprop objective is the SUM-reduced selected loss
+  (``loss/{train_loss}``, reference trainer.py:288-291);
+- every loss head + batch statistics are computed in the same forward for
+  logging (reference trainer.py:213-264) at negligible cost because logits
+  are shared;
+- the frozen item table is a step argument, NOT part of the state — it is
+  never updated nor checkpointed (reference trainer.py:352-362).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from transformer_recommenders_tpu.configs import TrainConfig
+from transformer_recommenders_tpu.models.recommender import compute_embeds
+from transformer_recommenders_tpu.ops import losses as loss_lib
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
+    return optax.adamw(
+        config.learning_rate, weight_decay=config.weight_decay
+    )
+
+
+def init_train_state(config: TrainConfig, params: Any) -> TrainState:
+    opt = make_optimizer(config)
+    return TrainState(params=params, opt_state=opt.init(params), step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(config: TrainConfig):
+    """Build the jitted train step.
+
+    Signature: ``step(state, item_table, batch, rng) -> (state, logs)`` where
+    ``batch`` holds int32 (B, S) arrays ``history_item_idx`` /
+    ``pos_item_idx`` / ``neg_item_idx``.
+    """
+    opt = make_optimizer(config)
+    loss_names = tuple(loss_lib.LOSS_FNS)
+    model_cfg = config  # TrainConfig subclasses ModelConfig
+    loss_cfg = config  # ... and LossConfig
+
+    def loss_fn(params, item_table, batch, rng):
+        embeds = compute_embeds(
+            params,
+            model_cfg,
+            item_table,
+            batch["history_item_idx"],
+            batch["pos_item_idx"],
+            batch["neg_item_idx"],
+            dropout_rng=rng,
+        )
+        all_losses = loss_lib.compute_losses(
+            loss_cfg,
+            embeds["query"],
+            embeds["pos_embed"],
+            embeds["neg_pool"],
+            embeds["row_valid"],
+            embeds["neg_valid"],
+            loss_names=loss_names,
+        )
+        stats = loss_lib.logits_statistics(
+            loss_cfg,
+            embeds["query"],
+            embeds["pos_embed"],
+            embeds["neg_pool"],
+            embeds["row_valid"],
+            embeds["neg_valid"],
+        )
+        # batch statistics (parity: xfmr_rec/trainer.py:236-249)
+        attn = embeds["attention_mask"]
+        numel = attn.size
+        attn_nz = jnp.sum(attn.astype(jnp.float32))
+        pos_nz = jnp.sum(embeds["positive_mask"].astype(jnp.float32))
+        logs = {f"loss/{k}": v for k, v in all_losses.items()}
+        logs |= {
+            f"loss/{k}Mean": v / (pos_nz + 1e-9) for k, v in all_losses.items()
+        }
+        logs |= stats
+        logs |= {
+            "batch/size": jnp.float32(attn.shape[0]),
+            "batch/seq_len": jnp.float32(attn.shape[1]),
+            "batch/numel": jnp.float32(numel),
+            "batch/attention_non_zero": attn_nz,
+            "batch/attention_density": attn_nz / (numel + 1e-9),
+            "batch/positive_non_zero": pos_nz,
+            "batch/positive_density": pos_nz / (attn_nz + 1e-9),
+        }
+        return all_losses[config.train_loss], logs
+
+    @jax.jit
+    def train_step(state: TrainState, item_table, batch, rng):
+        (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, item_table, batch, rng
+        )
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        logs["grad/global_norm"] = optax.global_norm(grads)
+        return TrainState(params, opt_state, state.step + 1), logs
+
+    return train_step

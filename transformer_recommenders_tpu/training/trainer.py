@@ -1,0 +1,229 @@
+"""Training orchestration: fit / validate / test / predict.
+
+Replaces the Lightning + LightningCLI stack (``xfmr_rec/trainer.py``) with
+a plain loop around the jitted train/eval steps:
+
+- one-epoch default, wall-clock budget, early stopping and best-checkpoint
+  on ``val/retrieval_normalized_dcg`` (parity: trainer.py:334-341,449-455);
+- per-step logging of every loss + batch/logit statistics
+  (trainer.py:236-264);
+- val/test = batched on-device retrieval metrics (replacing the per-user
+  LanceDB loop, trainer.py:266-316);
+- artifact save = model dir + items/users stores for serving
+  (trainer.py:364-373).
+"""
+
+from __future__ import annotations
+
+import pathlib
+import time
+
+import jax
+import numpy as np
+
+from transformer_recommenders_tpu.configs import TrainConfig
+from transformer_recommenders_tpu.data.module import SeqDataModule
+from transformer_recommenders_tpu.models.recommender import RecommenderModel
+from transformer_recommenders_tpu.training import checkpoint as ckpt_lib
+from transformer_recommenders_tpu.training.evaluator import Evaluator
+from transformer_recommenders_tpu.training.logging import MetricsLogger
+from transformer_recommenders_tpu.training.train_state import (
+    TrainState,
+    init_train_state,
+    make_train_step,
+)
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: TrainConfig,
+        datamodule: SeqDataModule,
+        *,
+        log_dir: str | None = None,
+    ) -> None:
+        self.config = TrainConfig.model_validate(config)
+        self.datamodule = datamodule
+        self.log_dir = pathlib.Path(log_dir or "runs/default")
+        self.logger = MetricsLogger(self.log_dir)
+        self.model: RecommenderModel | None = None
+        self.state: TrainState | None = None
+        self._train_step = None
+        self._evaluator: Evaluator | None = None
+
+    # -- setup ---------------------------------------------------------------
+
+    def configure(self) -> None:
+        """Build datamodule artifacts, model, train state and compiled steps.
+        Parity: ``RecommenderLightningModule.configure_model``
+        (``xfmr_rec/trainer.py:139-161``)."""
+        dm = self.datamodule
+        dm.prepare_data()
+        dm.setup()
+
+        emb_dim = dm.item_embeddings.shape[1]
+        cfg = self.config
+        if cfg.input_dim is None and emb_dim != cfg.hidden_size:
+            # infer the projection, like the reference infers dims from the
+            # pretrained model (xfmr_rec/models.py:69-91)
+            cfg = cfg.model_copy(update={"input_dim": emb_dim})
+        self.config = cfg
+
+        if self.model is None:
+            self.model = RecommenderModel(cfg, rng=jax.random.key(cfg.seed))
+            self.model.configure_embeddings(dm.item_ids, dm.item_embeddings)
+        if self.state is None:
+            self.state = init_train_state(cfg, self.model.params)
+        if self._train_step is None:
+            self._train_step = make_train_step(cfg)
+        if self._evaluator is None:
+            self._evaluator = Evaluator(cfg)
+
+    def restore(self, ckpt_path: str) -> dict:
+        """Resume from a checkpoint directory (parity: ``ckpt_path`` CLI
+        resume, ``config.yaml:92``)."""
+        self.configure()
+        self.state, meta = ckpt_lib.load_checkpoint(ckpt_path, self.state)
+        self.model.params = self.state.params
+        return meta
+
+    # -- fit -----------------------------------------------------------------
+
+    def fit(self) -> dict[str, float]:
+        self.configure()
+        cfg = self.config
+        dm = self.datamodule
+        assert self.state is not None and self.model is not None
+
+        monitor_best = -np.inf if cfg.monitor_mode == "max" else np.inf
+        patience_left = cfg.early_stopping_patience
+        best_ckpt = pathlib.Path(cfg.ckpt_dir) / "best"
+        last_val: dict[str, float] = {}
+        root_key = jax.random.key(cfg.seed)
+        t_start = time.time()
+        examples = 0
+        stop = False
+
+        for epoch in range(cfg.max_epochs):
+            for i, batch in enumerate(dm.train_batches(epoch)):
+                if 0 <= cfg.limit_train_batches <= i:
+                    break
+                step_key = jax.random.fold_in(root_key, int(self.state.step))
+                self.state, logs = self._train_step(
+                    self.state, self.model.item_table, batch, step_key
+                )
+                examples += batch["history_item_idx"].shape[0]
+                step = int(self.state.step)
+                if step % cfg.log_every_n_steps == 0:
+                    logs = {k: float(v) for k, v in logs.items()}
+                    logs["train/examples_per_s"] = examples / max(
+                        time.time() - t_start, 1e-9
+                    )
+                    self.logger.log(logs, step=step)
+                if 0 <= cfg.max_steps <= step:
+                    stop = True
+                    break
+                if time.time() - t_start > cfg.max_time_seconds:
+                    stop = True
+                    break
+
+            self.model.params = self.state.params
+            last_val = self.validate(stage="val")
+            self.logger.log(last_val, step=int(self.state.step))
+
+            score = last_val.get(cfg.monitor, np.nan)
+            improved = (
+                score > monitor_best
+                if cfg.monitor_mode == "max"
+                else score < monitor_best
+            )
+            if improved or not np.isfinite(monitor_best):
+                monitor_best = score
+                patience_left = cfg.early_stopping_patience
+                ckpt_lib.save_checkpoint(
+                    best_ckpt, self.state, epoch=epoch, metrics=last_val
+                )
+            else:
+                patience_left -= 1
+                if patience_left <= 0:
+                    stop = True
+            ckpt_lib.save_checkpoint(
+                pathlib.Path(cfg.ckpt_dir) / "last",
+                self.state,
+                epoch=epoch,
+                metrics=last_val,
+            )
+            if stop:
+                break
+
+        # restore best weights (parity: Lightning ckpt_path="best")
+        if (best_ckpt / "state.npz").exists():
+            self.state, _ = ckpt_lib.load_checkpoint(best_ckpt, self.state)
+            self.model.params = self.state.params
+        return {**last_val, "train/examples_per_s": examples / max(time.time() - t_start, 1e-9)}
+
+    # -- eval ----------------------------------------------------------------
+
+    def validate(self, stage: str = "val") -> dict[str, float]:
+        self.configure()
+        arrays = self.datamodule.eval_arrays("val" if stage == "val" else stage)
+        if self.config.limit_val_batches >= 0:
+            n = self.config.limit_val_batches * self.config.eval_batch_size
+            arrays = _slice_arrays(arrays, n)
+        return self._evaluator.run(
+            self.model.params, self.model.item_table, arrays, stage=stage
+        )
+
+    def test(self) -> dict[str, float]:
+        return self.validate(stage="test")
+
+    def predict(self, split: str = "predict") -> dict[str, np.ndarray]:
+        """Top-k recs for every user of ``split`` (history excluded).
+        Parity: ``xfmr_rec/trainer.py:307-316``."""
+        self.configure()
+        arrays = self.datamodule.eval_arrays(split)
+        idx, scores = self._evaluator.recommend_batch(
+            self.model.params, self.model.item_table, arrays
+        )
+        item_ids = np.asarray(self.datamodule.item_ids, object)
+        return {
+            "user_ids": np.asarray(arrays.user_ids, object),
+            "item_idx": idx,
+            "item_ids": item_ids[idx - 1],
+            "scores": scores,
+        }
+
+    # -- artifacts -----------------------------------------------------------
+
+    def save(self, path: str | pathlib.Path) -> None:
+        """Persist serving artifacts: model + items/users data + embeddings.
+        Parity: ``RecommenderLightningModule.save``
+        (``xfmr_rec/trainer.py:364-373``)."""
+        from transformer_recommenders_tpu.params import TRANSFORMER_PATH
+
+        path = pathlib.Path(path)
+        path.mkdir(parents=True, exist_ok=True)
+        assert self.model is not None
+        self.model.save(path / TRANSFORMER_PATH)
+
+        import shutil
+
+        dm = self.datamodule
+        store = path / "index_store"
+        store.mkdir(parents=True, exist_ok=True)
+        shutil.copy(dm.dataset_dir / "items.parquet", store / "items.parquet")
+        shutil.copy(dm.dataset_dir / "users.parquet", store / "users.parquet")
+        np.save(store / "item_embeddings.npy", dm.item_embeddings)
+
+
+def _slice_arrays(arrays, n: int):
+    import dataclasses
+
+    return dataclasses.replace(
+        arrays,
+        user_ids=arrays.user_ids[:n],
+        history_full=arrays.history_full[:n],
+        history_window=arrays.history_window[:n],
+        targets=arrays.targets[:n],
+        n_targets=arrays.n_targets[:n],
+    )
