@@ -1,0 +1,180 @@
+"""Benchmark harness: flagship train throughput vs the reference stack.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+- ours: jitted train step (4-layer d=128 encoder, frozen 384-d item table,
+  fused in-batch InfoNCE over the shared negative pool) on the available
+  accelerator (TPU via axon when present, else CPU).
+- baseline: the reference's compute path — an HF torch ``BertModel``
+  (``is_decoder=True``) driven with ``inputs_embeds`` + the same candidate
+  scoring/loss shape + AdamW — on torch CPU, matching the reference's
+  shipped configuration (``accelerator: cpu``, reference config.yaml:4).
+  The reference publishes no numbers (BASELINE.md), so this measured
+  torch path IS the baseline.
+
+All progress chatter goes to stderr; stdout carries only the JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+B = 256
+S = 32
+N_ITEMS = 4096
+EMB_DIM = 384
+STEPS = 30
+WARMUP = 5
+TORCH_STEPS = 6
+TORCH_WARMUP = 2
+
+
+def log(*args) -> None:
+    print(*args, file=sys.stderr, flush=True)
+
+
+def bench_ours() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from transformer_recommenders_tpu.training.train_state import (
+        init_train_state,
+        make_train_step,
+    )
+    from __graft_entry__ import _flagship_config
+    from transformer_recommenders_tpu.models.transformer import init_transformer_params
+
+    cfg = _flagship_config()
+    log(f"devices: {jax.devices()}")
+    params = init_transformer_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(
+        np.concatenate(
+            [
+                np.zeros((1, EMB_DIM), np.float32),
+                rng.normal(size=(N_ITEMS, EMB_DIM)).astype(np.float32),
+            ]
+        )
+    )
+    state = init_train_state(cfg, params)
+    step = make_train_step(cfg)
+
+    def make_batch(seed: int):
+        r = np.random.default_rng(seed)
+        return {
+            "history_item_idx": jnp.asarray(
+                r.integers(1, N_ITEMS + 1, size=(B, S)).astype(np.int32)
+            ),
+            "pos_item_idx": jnp.asarray(
+                r.integers(1, N_ITEMS + 1, size=(B, S)).astype(np.int32)
+            ),
+            "neg_item_idx": jnp.asarray(
+                r.integers(1, N_ITEMS + 1, size=(B, S)).astype(np.int32)
+            ),
+        }
+
+    batches = [make_batch(i) for i in range(8)]
+    key = jax.random.key(0)
+    t0 = time.time()
+    for i in range(WARMUP):
+        state, logs = step(state, table, batches[i % 8], key)
+    jax.block_until_ready(state.params)
+    log(f"compile+warmup: {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    for i in range(STEPS):
+        state, logs = step(state, table, batches[i % 8], key)
+    jax.block_until_ready(state.params)
+    dt = time.time() - t0
+    eps = B * STEPS / dt
+    log(f"ours: {STEPS} steps in {dt:.2f}s -> {eps:.1f} examples/s")
+    return eps
+
+
+def bench_torch_reference() -> float:
+    """Reference-equivalent step on torch CPU (HF BertModel, same shapes)."""
+    import torch
+    from transformers.models.bert import BertConfig, BertModel
+
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count() or 8)
+    config = BertConfig(
+        vocab_size=1,
+        hidden_size=128,
+        num_hidden_layers=4,
+        num_attention_heads=8,
+        intermediate_size=512,
+        max_position_embeddings=S,
+        is_decoder=True,
+    )
+    model = BertModel(config)
+    proj = torch.nn.Linear(EMB_DIM, 128)
+    table = torch.randn(N_ITEMS + 1, EMB_DIM)
+    table[0] = 0
+    params = list(model.parameters()) + list(proj.parameters())
+    opt = torch.optim.AdamW(params, lr=1e-3, weight_decay=0.01)
+
+    rng = np.random.default_rng(0)
+
+    def run_step():
+        hist = torch.as_tensor(rng.integers(1, N_ITEMS + 1, size=(B, S)))
+        pos = torch.as_tensor(rng.integers(1, N_ITEMS + 1, size=(B, S)))
+        neg = torch.as_tensor(rng.integers(1, N_ITEMS + 1, size=(B, S)))
+        inputs = proj(table[hist])
+        mask = (inputs != 0).any(-1).long()
+        out = model(inputs_embeds=inputs, attention_mask=mask)
+        q = out.last_hidden_state.reshape(B * S, -1)
+        pos_e = proj(table[pos]).reshape(B * S, -1)
+        neg_e = proj(table[neg]).reshape(B * S, -1)
+        pos_logit = (q * pos_e).sum(-1)
+        neg_logits = q @ neg_e.T
+        fn_mask = neg_logits < pos_logit[:, None]
+        logits = torch.cat(
+            [pos_logit[:, None], neg_logits.masked_fill(~fn_mask, -torch.inf)], dim=1
+        )
+        loss = torch.nn.functional.cross_entropy(
+            logits, torch.zeros(B * S, dtype=torch.long), reduction="sum"
+        )
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+    for _ in range(TORCH_WARMUP):
+        run_step()
+    t0 = time.time()
+    for _ in range(TORCH_STEPS):
+        run_step()
+    dt = time.time() - t0
+    eps = B * TORCH_STEPS / dt
+    log(f"torch reference: {TORCH_STEPS} steps in {dt:.2f}s -> {eps:.1f} examples/s")
+    return eps
+
+
+def main() -> None:
+    ours = bench_ours()
+    try:
+        baseline = bench_torch_reference()
+    except Exception as exc:  # noqa: BLE001 — baseline is best-effort
+        log(f"torch baseline failed: {exc!r}")
+        baseline = float("nan")
+    vs = ours / baseline if baseline == baseline and baseline > 0 else float("nan")
+    print(
+        json.dumps(
+            {
+                "metric": "train_examples_per_s_flagship",
+                "value": round(ours, 1),
+                "unit": "examples/s",
+                "vs_baseline": round(vs, 2) if vs == vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,208 @@
+"""Distributed-invariance tests on the virtual 8-device CPU mesh.
+
+SURVEY.md §4: the reference tests nothing distributed; these verify the
+TPU design's core guarantees — sharded lookup/top-k/train-step produce the
+SAME numbers as their single-device counterparts.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from transformer_recommenders_tpu.configs import MeshConfig, TrainConfig
+from transformer_recommenders_tpu.models.transformer import init_transformer_params
+from transformer_recommenders_tpu.ops.topk import topk_items
+from transformer_recommenders_tpu.parallel import embedding as pemb
+from transformer_recommenders_tpu.parallel import mesh as pmesh
+from transformer_recommenders_tpu.parallel.topk_sharded import sharded_topk
+from transformer_recommenders_tpu.parallel.train import (
+    make_sharded_train_step,
+    place_state,
+)
+from transformer_recommenders_tpu.training.train_state import (
+    init_train_state,
+    make_train_step,
+)
+
+RNG = np.random.default_rng(0)
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+@pytest.fixture(scope="module")
+def mesh2x4():
+    return pmesh.create_mesh(MeshConfig(data_axis_size=2, model_axis_size=4))
+
+
+@pytest.fixture(scope="module")
+def mesh8x1():
+    return pmesh.create_mesh(MeshConfig(data_axis_size=8, model_axis_size=1))
+
+
+# ---------------------------------------------------------------------------
+# row-sharded embedding lookup
+# ---------------------------------------------------------------------------
+
+
+def test_sharded_lookup_matches_dense(mesh2x4):
+    table = RNG.normal(size=(103, 16)).astype(np.float32)  # non-divisible rows
+    idx = RNG.integers(0, 103, size=(4, 7)).astype(np.int32)
+    placed = pemb.place_table(table, mesh2x4)
+    out = pemb.sharded_table_lookup(placed, jnp.asarray(idx), mesh2x4)
+    np.testing.assert_allclose(np.asarray(out), table[idx], rtol=1e-6)
+
+
+def test_sharded_lookup_duplicate_and_pad_indices(mesh2x4):
+    table = RNG.normal(size=(64, 8)).astype(np.float32)
+    idx = np.asarray([[0, 0, 5, 5, 63, 63, 0]], np.int32)  # dupes + repeated pads
+    placed = pemb.place_table(table, mesh2x4)
+    out = pemb.sharded_table_lookup(placed, jnp.asarray(idx), mesh2x4)
+    np.testing.assert_allclose(np.asarray(out), table[idx], rtol=1e-6)
+
+
+def test_sharded_lookup_out_of_range_gives_zero(mesh2x4):
+    table = RNG.normal(size=(64, 8)).astype(np.float32)
+    placed = pemb.place_table(table, mesh2x4)
+    out = pemb.sharded_table_lookup(
+        placed, jnp.asarray([[200]], jnp.int32), mesh2x4
+    )
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_sharded_lookup_under_jit_with_batch_sharding(mesh2x4):
+    table = RNG.normal(size=(64, 8)).astype(np.float32)
+    placed = pemb.place_table(table, mesh2x4)
+    idx = RNG.integers(0, 64, size=(8, 5)).astype(np.int32)
+    idx_dev = jax.device_put(jnp.asarray(idx), pmesh.batch_sharding(mesh2x4))
+
+    @jax.jit
+    def f(t, i):
+        return pemb.sharded_table_lookup(t, i, mesh2x4, idx_spec=P("data"))
+
+    np.testing.assert_allclose(np.asarray(f(placed, idx_dev)), table[idx], rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# column-sharded top-k
+# ---------------------------------------------------------------------------
+
+
+def test_sharded_topk_matches_single_device(mesh2x4):
+    items = RNG.normal(size=(96, 16)).astype(np.float32)
+    queries = RNG.normal(size=(5, 16)).astype(np.float32)
+    exclude = np.asarray(
+        [[1, 2, 0], [0, 0, 0], [90, 4, 5], [96, 1, 0], [33, 0, 0]], np.int32
+    )
+    ref_scores, ref_idx = topk_items(
+        jnp.asarray(queries), jnp.asarray(items), 10, exclude_idx=jnp.asarray(exclude)
+    )
+    placed = pemb.place_table(items, mesh2x4)
+    s, i = sharded_topk(
+        jnp.asarray(queries),
+        placed,
+        10,
+        mesh2x4,
+        exclude_idx=jnp.asarray(exclude),
+        num_items=96,
+    )
+    np.testing.assert_allclose(np.asarray(s), np.asarray(ref_scores), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_idx))
+
+
+def test_sharded_topk_with_row_padding(mesh2x4):
+    # 50 items pad to 52 (4 shards x 13); pad rows must never be returned
+    items = -np.abs(RNG.normal(size=(50, 8))).astype(np.float32)  # all scores < 0
+    queries = np.abs(RNG.normal(size=(3, 8))).astype(np.float32)
+    placed = pemb.place_table(items, mesh2x4)
+    s, i = sharded_topk(queries, placed, 20, mesh2x4, metric="dot", num_items=50)
+    assert (np.asarray(i) <= 50).all()
+    ref_s, ref_i = topk_items(
+        jnp.asarray(queries), jnp.asarray(items), 20, metric="dot"
+    )
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+
+
+def test_sharded_topk_k_larger_than_shard(mesh2x4):
+    items = RNG.normal(size=(32, 8)).astype(np.float32)  # 8 rows/shard < k=12
+    queries = RNG.normal(size=(2, 8)).astype(np.float32)
+    placed = pemb.place_table(items, mesh2x4)
+    s, i = sharded_topk(queries, placed, 12, mesh2x4, num_items=32)
+    ref_s, ref_i = topk_items(jnp.asarray(queries), jnp.asarray(items), 12)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+
+
+# ---------------------------------------------------------------------------
+# sharded train step == single-device train step
+# ---------------------------------------------------------------------------
+
+
+def _make_setup(seed=0, n_items=40, b=8, s=4, d=16):
+    cfg = TrainConfig(
+        hidden_size=d,
+        num_hidden_layers=1,
+        num_attention_heads=4,
+        intermediate_size=16,
+        max_seq_length=s,
+        compute_dtype="float32",
+        hidden_dropout=0.0,  # dropout keys differ by dp-rank; disable for equality
+        attention_dropout=0.0,
+        train_loss="InfoNCELoss",
+        learning_rate=1e-3,
+    )
+    params = init_transformer_params(jax.random.key(seed), cfg)
+    table = RNG.normal(size=(n_items + 1, d)).astype(np.float32)
+    table[0] = 0
+    batch = {
+        "history_item_idx": RNG.integers(1, n_items + 1, size=(b, s)).astype(np.int32),
+        "pos_item_idx": RNG.integers(0, n_items + 1, size=(b, s)).astype(np.int32),
+        "neg_item_idx": RNG.integers(1, n_items + 1, size=(b, s)).astype(np.int32),
+    }
+    # a couple of padded rows
+    batch["history_item_idx"][-1] = 0
+    return cfg, params, table, batch
+
+
+@pytest.mark.parametrize("mesh_name", ["mesh2x4", "mesh8x1"])
+def test_sharded_train_step_matches_single_device(mesh_name, request):
+    mesh = request.getfixturevalue(mesh_name)
+    cfg, params, table, batch = _make_setup()
+
+    # single-device reference
+    ref_step = make_train_step(cfg)
+    state0 = init_train_state(cfg, params)
+    rng = jax.random.key(7)
+    ref_state, ref_logs = ref_step(state0, jnp.asarray(table), batch, rng)
+
+    # sharded
+    placed_table = pemb.place_table(table, mesh)
+    sh_state = place_state(init_train_state(cfg, params), mesh)
+    sh_batch = pmesh.shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+    sh_step = make_sharded_train_step(cfg, mesh)
+    sh_state, sh_logs = sh_step(sh_state, placed_table, sh_batch, rng)
+
+    for key in ["loss/InfoNCELoss", "loss/PairwiseLogisticLoss", "loss/NCELoss"]:
+        np.testing.assert_allclose(
+            float(sh_logs[key]), float(ref_logs[key]), rtol=1e-4, atol=1e-4
+        )
+    # parameters after one update match
+    for a, b_ in zip(jax.tree.leaves(ref_state.params), jax.tree.leaves(sh_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_train_step_multiple_steps(mesh2x4):
+    cfg, params, table, batch = _make_setup()
+    placed_table = pemb.place_table(table, mesh2x4)
+    state = place_state(init_train_state(cfg, params), mesh2x4)
+    cfg = cfg.model_copy(update={"learning_rate": 1e-2})
+    step = make_sharded_train_step(cfg, mesh2x4)
+    sh_batch = pmesh.shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh2x4)
+    losses = []
+    for i in range(30):
+        state, logs = step(state, placed_table, sh_batch, jax.random.key(i))
+        losses.append(float(logs["loss/InfoNCELoss"]))
+    assert losses[-1] < losses[0] * 0.8  # optimizing the same batch must descend
+    assert int(state.step) == 30

@@ -28,24 +28,28 @@ from transformer_recommenders_tpu.models.transformer import (
 def model_forward(
     params: Params,
     cfg: ModelConfig,
-    item_table: jax.Array,
+    item_table: jax.Array | None,
     item_idx: jax.Array | None = None,
     *,
     item_embeds: jax.Array | None = None,
     dropout_rng: jax.Array | None = None,
+    table_lookup=None,
 ) -> dict[str, jax.Array]:
     """Forward pass from item indices or raw item embeddings.
 
     Parity: ``xfmr_rec/models.py:306-345`` — truncate to the LAST
     ``max_seq_length`` positions, derive the attention mask as "any nonzero
     embedding component", run the encoder.
+
+    ``table_lookup`` overrides the dense ``jnp.take`` gather — the parallel
+    layer passes the model-axis collective lookup for row-sharded tables
+    (``parallel/embedding.py``).
     """
+    lookup = table_lookup or (lambda idx: jnp.take(item_table, idx, axis=0))
     if item_embeds is not None:
         input_embeds = item_embeds[:, -cfg.max_seq_length :, :]
     elif item_idx is not None:
-        input_embeds = jnp.take(
-            item_table, item_idx[:, -cfg.max_seq_length :], axis=0
-        )
+        input_embeds = lookup(item_idx[:, -cfg.max_seq_length :])
     else:
         msg = "either `item_idx` or `item_embeds` must be provided"
         raise ValueError(msg)
@@ -55,12 +59,13 @@ def model_forward(
 def compute_embeds(
     params: Params,
     cfg: ModelConfig,
-    item_table: jax.Array,
+    item_table: jax.Array | None,
     history_item_idx: jax.Array,
     pos_item_idx: jax.Array,
     neg_item_idx: jax.Array,
     *,
     dropout_rng: jax.Array | None = None,
+    table_lookup=None,
 ) -> dict[str, jax.Array]:
     """Produce per-position training queries and the shared candidate pool.
 
@@ -84,8 +89,14 @@ def compute_embeds(
       ``row_valid`` (R,) bool, ``neg_valid`` (R,) bool,
       ``attention_mask`` (B, S) bool, ``positive_mask`` (B, S) bool.
     """
+    lookup = table_lookup or (lambda idx: jnp.take(item_table, idx, axis=0))
     out = model_forward(
-        params, cfg, item_table, history_item_idx, dropout_rng=dropout_rng
+        params,
+        cfg,
+        item_table,
+        history_item_idx,
+        dropout_rng=dropout_rng,
+        table_lookup=lookup,
     )
     attention_mask = out["attention_mask"]  # (B, S)
     b, s = attention_mask.shape
@@ -101,10 +112,22 @@ def compute_embeds(
     neg_valid = attention_mask.reshape(b * s)
     positive_mask = (pos_flat != 0) & neg_valid
 
+    pos_embed = lookup(pos_flat)
+    neg_pool = lookup(neg_flat)
+    if "input_proj" in params:
+        # with a learned projection (input_dim != hidden_size, BASELINE
+        # config #3) candidates must be scored in the SAME hidden space as
+        # the queries — apply the shared projection to them too
+        from transformer_recommenders_tpu.models.transformer import _dense
+
+        dtype = jnp.dtype(cfg.compute_dtype)
+        pos_embed = _dense(pos_embed, params["input_proj"], dtype)
+        neg_pool = _dense(neg_pool, params["input_proj"], dtype)
+
     return {
         "query": query,
-        "pos_embed": jnp.take(item_table, pos_flat, axis=0),
-        "neg_pool": jnp.take(item_table, neg_flat, axis=0),
+        "pos_embed": pos_embed,
+        "neg_pool": neg_pool,
         "row_valid": positive_mask,
         "neg_valid": neg_valid,
         "attention_mask": attention_mask,

@@ -1,0 +1,140 @@
+"""Distributed train step over the (data, model) mesh.
+
+Design (SURVEY.md §2.3 / BASELINE.json north star):
+
+- encoder params are REPLICATED (they are tiny: <= 6 layers, d <= 384);
+  the batch shards over ``data``; gradients reduce with one psum that XLA
+  places on ICI/DCN;
+- the frozen item table row-shards over ``model``; history/positive/
+  negative lookups use the psum-combined sharded gather
+  (``parallel/embedding.py``);
+- **distributed-invariant loss**: the reference's in-batch losses share the
+  negative pool across the WHOLE batch (``xfmr_rec/models.py:404-411``).
+  Naive DP would shrink the pool to the per-chip batch and silently change
+  the objective.  Here each chip all-gathers the (R_local, D) negative pool
+  over the data axis and scores its local rows against the GLOBAL pool, so
+  an N-chip step computes bit-for-bit the same loss as 1 chip (verified in
+  tests/test_parallel.py).
+
+Everything is one ``shard_map`` inside one ``jax.jit``; autodiff flows
+through the collectives (psum transposes to broadcast, all_gather to
+reduce-scatter).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from transformer_recommenders_tpu.configs import TrainConfig
+from transformer_recommenders_tpu.models.recommender import compute_embeds
+from transformer_recommenders_tpu.ops import losses as loss_lib
+from transformer_recommenders_tpu.params import DATA_AXIS, MODEL_AXIS
+from transformer_recommenders_tpu.training.train_state import (
+    TrainState,
+    make_optimizer,
+)
+
+try:
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+
+def _sharded_lookup_local(table_shard: jax.Array, idx: jax.Array) -> jax.Array:
+    """Model-axis collective gather; runs INSIDE the data/model shard_map."""
+    rows = table_shard.shape[0]
+    shard_id = jax.lax.axis_index(MODEL_AXIS)
+    local_idx = idx - shard_id * rows
+    in_range = (local_idx >= 0) & (local_idx < rows)
+    safe = jnp.clip(local_idx, 0, rows - 1)
+    vals = jnp.take(table_shard, safe, axis=0)
+    vals = jnp.where(in_range[..., None], vals, 0)
+    return jax.lax.psum(vals, MODEL_AXIS)
+
+
+def make_sharded_train_step(config: TrainConfig, mesh: Mesh):
+    """Build ``step(state, table, batch, rng) -> (state, logs)`` jitted over
+    the mesh.  ``table`` must be row-sharded with padded rows
+    (``parallel.embedding.place_table``); ``batch`` batch-dim sharded.
+    """
+    opt = make_optimizer(config)
+    train_loss = config.train_loss
+
+    def local_loss(params, table_shard, batch, rng):
+        """Per-device loss: local rows vs the globally gathered pool."""
+        dp_rank = jax.lax.axis_index(DATA_AXIS)
+        rng = jax.random.fold_in(rng, dp_rank)
+
+        lookup = lambda idx: _sharded_lookup_local(table_shard, idx)  # noqa: E731
+        embeds = compute_embeds(
+            params,
+            config,
+            None,
+            batch["history_item_idx"],
+            batch["pos_item_idx"],
+            batch["neg_item_idx"],
+            dropout_rng=rng,
+            table_lookup=lookup,
+        )
+        # global shared negative pool (parity with single-chip semantics)
+        neg_pool = jax.lax.all_gather(embeds["neg_pool"], DATA_AXIS, tiled=True)
+        neg_valid = jax.lax.all_gather(embeds["neg_valid"], DATA_AXIS, tiled=True)
+
+        losses = loss_lib.compute_losses(
+            config,
+            embeds["query"],
+            embeds["pos_embed"],
+            neg_pool,
+            embeds["row_valid"],
+            neg_valid,
+        )
+        # global sums -> replicated logs
+        losses = {k: jax.lax.psum(v, DATA_AXIS) for k, v in losses.items()}
+        pos_nz = jax.lax.psum(
+            jnp.sum(embeds["positive_mask"].astype(jnp.float32)), DATA_AXIS
+        )
+        attn_nz = jax.lax.psum(
+            jnp.sum(embeds["attention_mask"].astype(jnp.float32)), DATA_AXIS
+        )
+        logs = {f"loss/{k}": v for k, v in losses.items()}
+        logs |= {f"loss/{k}Mean": v / (pos_nz + 1e-9) for k, v in losses.items()}
+        logs |= {
+            "batch/positive_non_zero": pos_nz,
+            "batch/attention_non_zero": attn_nz,
+        }
+        return losses[train_loss], logs
+
+    def sharded_loss(params, table, batch, rng):
+        return shard_map(
+            local_loss,
+            mesh=mesh,
+            in_specs=(
+                P(),  # params replicated
+                P(MODEL_AXIS, None),  # table row-sharded
+                P(DATA_AXIS),  # batch dict: leading dim sharded
+                P(),  # rng replicated
+            ),
+            out_specs=(P(), P()),  # loss + logs replicated
+            check_vma=False,
+        )(params, table, batch, rng)
+
+    @jax.jit
+    def train_step(state: TrainState, table, batch, rng):
+        (_, logs), grads = jax.value_and_grad(sharded_loss, has_aux=True)(
+            state.params, table, batch, rng
+        )
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        logs["grad/global_norm"] = optax.global_norm(grads)
+        return TrainState(params, opt_state, state.step + 1), logs
+
+    return train_step
+
+
+def place_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Replicate the train state across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), state)
