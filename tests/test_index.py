@@ -1,0 +1,110 @@
+"""Index-layer tests: both backends, exclusion, persistence, cross-check.
+
+Parity semantics from ``xfmr_rec/index.py``: search returns row payloads +
+cosine ``score`` (index.py:252-254), excluded ids are prefiltered
+(index.py:239-246), get_id returns {} for misses (index.py:275-292).
+"""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from transformer_recommenders_tpu.configs import IndexConfig
+from transformer_recommenders_tpu.index import DeviceIndex, HostIndex
+
+RNG = np.random.default_rng(0)
+N, D = 50, 16
+
+
+@pytest.fixture(scope="module")
+def records():
+    return pd.DataFrame(
+        {
+            "item_id": [f"i{k}" for k in range(N)],
+            "item_text": [json.dumps({"title": f"t{k}"}) for k in range(N)],
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def embeddings():
+    e = RNG.normal(size=(N, D)).astype(np.float32)
+    return e / np.linalg.norm(e, axis=1, keepdims=True)
+
+
+@pytest.fixture(scope="module", params=["device", "host"])
+def index(request, records, embeddings):
+    config = IndexConfig(table_name="items", backend=request.param)
+    cls = DeviceIndex if request.param == "device" else HostIndex
+    idx = cls(config)
+    idx.index_data(records, embeddings=embeddings)
+    return idx
+
+
+def test_search_returns_scored_rows(index, embeddings):
+    results = index.search(embeddings[7], top_k=5)
+    assert len(results) == 5
+    assert results[0]["item_id"] == "i7"  # self-similarity = 1.0
+    np.testing.assert_allclose(results[0]["score"], 1.0, rtol=1e-5)
+    scores = [r["score"] for r in results]
+    assert scores == sorted(scores, reverse=True)
+    assert all({"item_id", "item_text", "score"} <= set(r) for r in results)
+
+
+def test_search_excludes_ids(index, embeddings):
+    results = index.search(embeddings[7], exclude_item_ids=["i7"], top_k=5)
+    assert all(r["item_id"] != "i7" for r in results)
+    assert len(results) == 5  # exclusion is a prefilter: still top_k results
+
+
+def test_search_topk_larger_than_catalog(index, embeddings):
+    results = index.search(embeddings[0], top_k=100)
+    assert len(results) == N
+
+
+def test_get_id_and_get_ids(index):
+    row = index.get_id("i3")
+    assert row["item_id"] == "i3"
+    assert index.get_id("nope") == {}
+    assert index.get_id(None) == {}
+    rows = index.get_ids(["i5", "i3", "zzz", "i5"])
+    # SQL IN semantics: table order, dedup, missing skipped
+    assert [r["item_id"] for r in rows] == ["i3", "i5"]
+
+
+def test_save_load_roundtrip(index, embeddings, tmp_path):
+    index.save(tmp_path)
+    cls = type(index)
+    config = IndexConfig(
+        index_path=str(tmp_path), table_name="items", backend=index.config.backend
+    )
+    loaded = cls.load(config)
+    r1 = index.search(embeddings[11], top_k=4)
+    r2 = loaded.search(embeddings[11], top_k=4)
+    assert [r["item_id"] for r in r1] == [r["item_id"] for r in r2]
+
+
+def test_device_and_host_backends_agree(records, embeddings):
+    dev = DeviceIndex(IndexConfig(table_name="items"))
+    dev.index_data(records, embeddings=embeddings)
+    host = HostIndex(IndexConfig(table_name="items", backend="host"))
+    host.index_data(records, embeddings=embeddings)
+    q = RNG.normal(size=D).astype(np.float32)
+    r_dev = dev.search(q, exclude_item_ids=["i1", "i2"], top_k=10)
+    r_host = host.search(q, exclude_item_ids=["i1", "i2"], top_k=10)
+    assert [r["item_id"] for r in r_dev] == [r["item_id"] for r in r_host]
+    np.testing.assert_allclose(
+        [r["score"] for r in r_dev], [r["score"] for r in r_host], rtol=1e-5
+    )
+
+
+def test_index_data_idempotent_unless_overwrite(records, embeddings):
+    idx = HostIndex(IndexConfig(table_name="items", backend="host"))
+    idx.index_data(records, embeddings=embeddings)
+    fewer = records.iloc[:10]
+    idx.index_data(fewer, embeddings=embeddings[:10])  # ignored
+    assert len(idx.store) == N
+    idx.index_data(fewer, embeddings=embeddings[:10], overwrite=True)
+    assert len(idx.store) == 10

@@ -1,0 +1,139 @@
+"""Serving tests: the 8-API HTTP surface driven in-process.
+
+Parity: the reference smoke-tests its BentoML service through an ASGI
+TestClient (``xfmr_rec/deploy.py:23-72``); these tests cover the same
+surface plus error paths the reference never exercises.
+"""
+
+import numpy as np
+import pytest
+
+from transformer_recommenders_tpu.serving import deploy as deploy_mod
+from transformer_recommenders_tpu.serving.asgi import JSONApp, TestClient
+from transformer_recommenders_tpu.serving.service import Query, Service
+
+
+@pytest.fixture(scope="module")
+def service(tmp_path_factory):
+    work = tmp_path_factory.mktemp("deploy")
+    trainer = deploy_mod._fast_dev_trainer(str(work))
+    trainer.save(work / "artifact")
+    return Service(work / "artifact")
+
+
+@pytest.fixture(scope="module")
+def client(service):
+    return TestClient(service.to_asgi())
+
+
+def test_deploy_smoke(service):
+    deploy_mod.test_queries(service)
+
+
+def test_recommend_with_query_item_ids(service, client):
+    item_id = service.item_index.index.store.records["item_id"].iloc[0]
+    resp = client.post(
+        "recommend_with_query", {"query": {"item_ids": [str(item_id)], "top_k": 7}}
+    )
+    assert resp.ok
+    recs = resp.json()
+    assert len(recs) == 7
+    # query item ids are always excluded (service.py:218-221)
+    assert all(r["item_id"] != str(item_id) for r in recs)
+    assert all(set(r) == {"item_id", "item_text", "score"} for r in recs)
+
+
+def test_recommend_with_query_raw_embeds(service, client):
+    d = service.model.embed_dim
+    embeds = np.random.default_rng(0).normal(size=(3, d)).astype(float).tolist()
+    resp = client.post("recommend_with_query", {"query": {"input_embeds": embeds}})
+    assert resp.ok
+    assert len(resp.json()) == 20
+
+
+def test_recommend_empty_query_returns_empty(client):
+    resp = client.post("recommend_with_query", {"query": {}})
+    assert resp.ok
+    assert resp.json() == []
+
+
+def test_embed_query_normalization_chain(service, client):
+    item_ids = service.item_index.index.store.records["item_id"].iloc[:3].tolist()
+    resp = client.post("embed_query", {"query": {"item_ids": item_ids}})
+    assert resp.ok
+    payload = resp.json()
+    assert payload["embedding"] is not None
+    assert len(payload["embedding"]) == service.model.model.config.hidden_size
+    # unknown ids are silently dropped; embedding still produced
+    resp2 = client.post(
+        "embed_query", {"query": {"item_ids": [item_ids[0], "does-not-exist"]}}
+    )
+    assert resp2.ok
+    assert resp2.json()["embedding"] is not None
+
+
+def test_user_roundtrip_and_recs(service, client):
+    user_id = service.user_index.index.store.records["user_id"].iloc[0]
+    user = client.post("user_id", {"user_id": str(user_id)}).json()
+    assert user["user_id"] == str(user_id)
+    assert user["history"] is not None
+    recs = client.post("recommend_with_user_id", {"user_id": str(user_id)}).json()
+    assert len(recs) == 20
+    # reference parity: process_query truncates item_ids to the LAST window
+    # BEFORE they are added to the exclusions (xfmr_rec/service.py:226-239,
+    # 218-221), so only that window is guaranteed excluded
+    all_ids = user["history"]["item_id"] + (
+        (user.get("target") or {"item_id": []})["item_id"]
+    )
+    known = [
+        i for i in all_ids if i in service.item_index.index.store._pos
+    ]
+    window = set(known[-service.model.max_seq_length() :])
+    assert window.isdisjoint({r["item_id"] for r in recs})
+
+
+def test_404s(client):
+    assert client.post("item_id", {"item_id": "missing"}).status_code == 404
+    assert client.post("user_id", {"user_id": "missing"}).status_code == 404
+    assert client.post("nonexistent_route", {}).status_code == 404
+
+
+def test_malformed_requests(client):
+    resp = client.post("recommend_with_item_id", {})  # missing required field
+    assert resp.status_code == 400
+
+
+def test_model_name_version(client):
+    assert client.post("model_name", {}).json() == "xfmr_rec_tpu"
+    assert isinstance(client.post("model_version", {}).json(), str)
+
+
+def test_batched_embed(service):
+    d = service.model.embed_dim
+    rng = np.random.default_rng(0)
+    queries = [
+        Query(input_embeds=rng.normal(size=(5, d)).tolist()),
+        Query(input_embeds=rng.normal(size=(2, d)).tolist()),
+        Query(),  # empty -> zero inputs
+    ]
+    out = service.model.embed(queries)
+    assert all(q.embedding is not None for q in out)
+    assert len(out[0].embedding) == service.model.model.config.hidden_size
+
+
+def test_asgi_bad_json():
+    app = JSONApp()
+
+    @app.route("echo")
+    async def _echo(payload):
+        return payload
+
+    client = TestClient(app)
+    import asyncio
+
+    async def raw():
+        status, payload = await app._dispatch("echo", b"not-json{")
+        return status
+
+    assert asyncio.run(raw()) == 400
+    assert client.post("echo", {"a": 1}).json() == {"a": 1}

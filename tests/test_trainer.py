@@ -108,9 +108,12 @@ def test_checkpoint_roundtrip_arbitrary_state(trainer, tmp_path):
 
 def test_artifact_save(trainer, tmp_path):
     trainer.save(tmp_path / "artifact")
+    store = tmp_path / "artifact" / "index_store"
     assert (tmp_path / "artifact" / "transformer" / "params.npz").exists()
-    assert (tmp_path / "artifact" / "index_store" / "items.parquet").exists()
-    assert (tmp_path / "artifact" / "index_store" / "item_embeddings.npy").exists()
+    assert (tmp_path / "artifact" / "manifest.json").exists()
+    assert (store / "items" / "records.parquet").exists()
+    assert (store / "items" / "embeddings.npy").exists()
+    assert (store / "users" / "records.parquet").exists()
 
 
 def test_logs_written(trainer):

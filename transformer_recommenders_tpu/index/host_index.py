@@ -1,0 +1,109 @@
+"""Host (numpy) exact retrieval backend.
+
+The reference keeps a second, unused ANN backend (FaissIndex,
+``xfmr_rec/index.py:295-507`` — defined but never imported; SURVEY.md §2.1
+calls it part of the feature surface).  This is the equivalent alternate
+backend here: the same index surface on plain numpy, useful for serving
+without an accelerator and as a cross-check oracle for the device path.
+"""
+
+from __future__ import annotations
+
+import pathlib
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+from transformer_recommenders_tpu.configs import IndexConfig
+from transformer_recommenders_tpu.index.store import RecordStore
+
+
+class HostIndex:
+    def __init__(self, config: IndexConfig) -> None:
+        self.config = IndexConfig.model_validate(config)
+        self.store: RecordStore | None = None
+        self.embeddings: np.ndarray | None = None
+        self._normed: np.ndarray | None = None
+
+    def index_data(
+        self,
+        records: pd.DataFrame,
+        *,
+        embeddings: np.ndarray | None = None,
+        overwrite: bool = False,
+    ) -> None:
+        if self.store is not None and not overwrite:
+            return
+        records = records.reset_index(drop=True)
+        if embeddings is None and self.config.embedding_col:
+            if self.config.embedding_col in records.columns:
+                embeddings = np.stack(
+                    records[self.config.embedding_col].to_numpy()
+                ).astype(np.float32)
+        store_cols = [c for c in records.columns if c != self.config.embedding_col]
+        self.store = RecordStore(records[store_cols], self.config.id_col)
+        if embeddings is not None:
+            self.embeddings = embeddings.astype(np.float32)
+            norms = np.linalg.norm(self.embeddings, axis=1, keepdims=True)
+            self._normed = self.embeddings / np.maximum(norms, 1e-12)
+
+    def search(
+        self,
+        embedding: np.ndarray,
+        exclude_item_ids: list[str] | None = None,
+        top_k: int = 20,
+    ) -> list[dict[str, Any]]:
+        assert self.store is not None and self.embeddings is not None
+        q = np.asarray(embedding, np.float32)
+        if self.config.metric == "cosine":
+            q = q / max(np.linalg.norm(q), 1e-12)
+            scores = self._normed @ q
+        else:
+            scores = self.embeddings @ q
+        for i in exclude_item_ids or []:
+            if i in self.store._pos:
+                scores[self.store._pos[i]] = -np.inf
+        k = min(top_k, len(scores))
+        top = np.argpartition(-scores, k - 1)[:k]
+        top = top[np.argsort(-scores[top])]
+        out = []
+        for i in top:
+            if not np.isfinite(scores[i]):
+                continue
+            row = self.store.row(int(i))
+            row["score"] = float(scores[i])
+            out.append(row)
+        return out
+
+    def get_ids(self, ids: list[str]) -> list[dict[str, Any]]:
+        assert self.store is not None
+        return self.store.get_ids(ids)
+
+    def get_id(self, id_val: str | None) -> dict[str, Any]:
+        assert self.store is not None
+        return self.store.get_id(id_val)
+
+    def save(self, path: str | pathlib.Path) -> None:
+        assert self.store is not None
+        path = pathlib.Path(path) / self.config.table_name
+        path.mkdir(parents=True, exist_ok=True)
+        self.store.save(path / "records.parquet")
+        (path / "config.json").write_text(self.config.model_dump_json(indent=2))
+        if self.embeddings is not None:
+            np.save(path / "embeddings.npy", self.embeddings)
+
+    @classmethod
+    def load(cls, config: IndexConfig) -> HostIndex:
+        config = IndexConfig.model_validate(config)
+        path = pathlib.Path(config.index_path) / config.table_name
+        saved = IndexConfig.model_validate_json((path / "config.json").read_text())
+        merged = saved.model_copy(
+            update={"index_path": config.index_path, "backend": "host"}
+        )
+        self = cls(merged)
+        records = pd.read_parquet(path / "records.parquet")
+        emb_file = path / "embeddings.npy"
+        embeddings = np.load(emb_file) if emb_file.exists() else None
+        self.index_data(records, embeddings=embeddings)
+        return self

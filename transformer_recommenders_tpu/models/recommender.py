@@ -193,8 +193,8 @@ class RecommenderModel:
         item_embeds: jax.Array | np.ndarray | None = None,
         dropout_rng: jax.Array | None = None,
     ) -> dict[str, jax.Array]:
-        assert self.item_table is not None, "call configure_embeddings first"
         if item_idx is not None:
+            assert self.item_table is not None, "call configure_embeddings first"
             item_idx = jnp.asarray(item_idx)
         if item_embeds is not None:
             item_embeds = jnp.asarray(item_embeds)

@@ -1,0 +1,163 @@
+"""Minimal JSON-over-HTTP ASGI framework + in-process test client.
+
+The reference serves through BentoML (``xfmr_rec/service.py``) and
+smoke-tests by converting the service to ASGI and driving it with
+starlette's TestClient in-process (``xfmr_rec/deploy.py:23-36``).  Neither
+BentoML nor starlette exists in this environment, so this module provides
+the minimal equivalent with zero dependencies:
+
+- :class:`JSONApp`: an ASGI application mapping ``POST /<name>`` to async
+  handlers taking/returning JSON;
+- :class:`TestClient`: drives any ASGI app in-process (own event loop),
+  starlette-TestClient style;
+- :func:`serve`: a tiny threaded HTTP server for real serving without
+  uvicorn (stdlib ``http.server`` bridging into the ASGI app).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+from typing import Any, Awaitable, Callable
+
+Handler = Callable[[dict], Awaitable[Any]]
+
+
+class NotFound(Exception):
+    """404 error for missing resources (parity: bentoml.exceptions.NotFound)."""
+
+
+class JSONApp:
+    def __init__(self) -> None:
+        self.routes: dict[str, Handler] = {}
+
+    def route(self, name: str) -> Callable[[Handler], Handler]:
+        def register(fn: Handler) -> Handler:
+            self.routes[name.strip("/")] = fn
+            return fn
+
+        return register
+
+    async def __call__(self, scope: dict, receive, send) -> None:
+        if scope["type"] != "http":
+            msg = f"unsupported scope type: {scope['type']}"
+            raise RuntimeError(msg)
+        path = scope["path"].strip("/")
+
+        body = b""
+        while True:
+            event = await receive()
+            body += event.get("body", b"")
+            if not event.get("more_body"):
+                break
+
+        status, payload = await self._dispatch(path, body)
+        data = json.dumps(payload).encode()
+        await send(
+            {
+                "type": "http.response.start",
+                "status": status,
+                "headers": [
+                    (b"content-type", b"application/json"),
+                    (b"content-length", str(len(data)).encode()),
+                ],
+            }
+        )
+        await send({"type": "http.response.body", "body": data})
+
+    async def _dispatch(self, path: str, body: bytes) -> tuple[int, Any]:
+        handler = self.routes.get(path)
+        if handler is None:
+            return 404, {"error": f"no such route: /{path}"}
+        try:
+            payload = json.loads(body) if body else {}
+        except json.JSONDecodeError as exc:
+            return 400, {"error": f"invalid JSON body: {exc}"}
+        if not isinstance(payload, dict):
+            return 400, {"error": "request body must be a JSON object"}
+        try:
+            result = await handler(payload)
+        except NotFound as exc:
+            return 404, {"error": str(exc)}
+        except KeyError as exc:
+            return 400, {"error": f"missing required field: {exc}"}
+        except (TypeError, ValueError) as exc:
+            return 400, {"error": str(exc)}
+        return 200, result
+
+
+class Response:
+    def __init__(self, status_code: int, payload: Any) -> None:
+        self.status_code = status_code
+        self._payload = payload
+
+    def json(self) -> Any:
+        return self._payload
+
+    @property
+    def ok(self) -> bool:
+        return 200 <= self.status_code < 300
+
+
+class TestClient:
+    """In-process ASGI driver (parity: starlette TestClient usage in
+    ``xfmr_rec/deploy.py:23-36``)."""
+
+    def __init__(self, app: JSONApp) -> None:
+        self.app = app
+
+    def post(self, path: str, json_body: Any = None) -> Response:
+        return asyncio.run(self._request("POST", path, json_body))
+
+    async def _request(self, method: str, path: str, json_body: Any) -> Response:
+        body = json.dumps(json_body or {}).encode()
+        scope = {"type": "http", "method": method, "path": path}
+        received = False
+
+        async def receive():
+            nonlocal received
+            if received:
+                return {"type": "http.disconnect"}
+            received = True
+            return {"type": "http.request", "body": body, "more_body": False}
+
+        messages: list[dict] = []
+
+        async def send(message):
+            messages.append(message)
+
+        await self.app(scope, receive, send)
+        status = next(m["status"] for m in messages if m["type"] == "http.response.start")
+        data = b"".join(
+            m.get("body", b"") for m in messages if m["type"] == "http.response.body"
+        )
+        return Response(status, json.loads(data) if data else None)
+
+
+def serve(app: JSONApp, host: str = "0.0.0.0", port: int = 3000) -> None:
+    """Blocking threaded HTTP server bridging into the ASGI app."""
+    import http.server
+    import socketserver
+
+    class Bridge(http.server.BaseHTTPRequestHandler):
+        def do_POST(self) -> None:  # noqa: N802
+            length = int(self.headers.get("content-length", 0))
+            body = self.rfile.read(length)
+            status, payload = asyncio.run(
+                app._dispatch(self.path.strip("/"), body)
+            )
+            data = json.dumps(payload).encode()
+            self.send_response(status)
+            self.send_header("content-type", "application/json")
+            self.send_header("content-length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *args) -> None:  # quiet
+            pass
+
+    class Server(socketserver.ThreadingTCPServer):
+        allow_reuse_address = True
+
+    with Server((host, port), Bridge) as server:
+        server.serve_forever()

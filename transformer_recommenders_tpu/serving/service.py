@@ -1,0 +1,361 @@
+"""Serving services: Model / ItemIndex / UserIndex / composite Service.
+
+Parity: ``xfmr_rec/service.py:96-315`` — the same four-service
+composition and 8-API HTTP surface, on the dependency-free ASGI layer:
+
+- ``Model``: loads the trained encoder; ``embed`` is a BATCHED API that
+  pads variable-length ``input_embeds`` and runs one encoder forward
+  (service.py:112-134);
+- ``ItemIndex``: retrieval index over items (search / get_id / get_ids,
+  service.py:137-180) — device-exact MIPS instead of LanceDB ANN;
+- ``UserIndex``: user metadata lookup (service.py:183-203);
+- ``Service``: composite with async APIs ``recommend_with_query``,
+  ``recommend_with_item_id``, ``recommend_with_user_id``, ``embed_query``,
+  ``item_id``, ``user_id``, ``model_name``, ``model_version``
+  (service.py:206-315), including the query normalization chain
+  item_ids -> input_embeds -> embedding with last-window truncation
+  (service.py:226-249) and always excluding query item ids from results
+  (service.py:218-221).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+from typing import Any
+
+import numpy as np
+import pydantic
+
+from transformer_recommenders_tpu.configs import IndexConfig
+from transformer_recommenders_tpu.index import INDEX_BACKENDS
+from transformer_recommenders_tpu.models.recommender import RecommenderModel
+from transformer_recommenders_tpu.params import (
+    INDEX_PATH,
+    ITEMS_TABLE_NAME,
+    MODEL_NAME,
+    TOP_K,
+    TRANSFORMER_PATH,
+    USERS_TABLE_NAME,
+)
+from transformer_recommenders_tpu.serving.asgi import JSONApp, NotFound
+
+
+# -- IO schemas (parity: xfmr_rec/service.py:30-92) --------------------------
+
+
+class Activity(pydantic.BaseModel):
+    item_id: list[str]
+    item_text: list[str]
+
+
+class Query(pydantic.BaseModel):
+    embedding: list[float] | None = None
+    item_ids: list[str] | None = None
+    item_texts: list[str] | None = None
+    input_embeds: list[list[float]] | None = None
+    exclude_item_ids: list[str] | None = None
+    top_k: int = TOP_K
+
+
+class UserQuery(pydantic.BaseModel):
+    user_id: str = "0"
+    user_text: str = ""
+    history: Activity | None = None
+    target: Activity | None = None
+
+
+class ItemQuery(pydantic.BaseModel):
+    item_id: str = "0"
+    item_text: str = ""
+    embedding: list[float] | None = None
+
+
+class ItemCandidate(pydantic.BaseModel):
+    item_id: str
+    item_text: str
+    score: float
+
+
+EXAMPLE_ITEM = ItemQuery(
+    item_id="1",
+    item_text='{"title":"Toy Story (1995)","genres":["Animation","Children\'s","Comedy"]}',
+)
+EXAMPLE_USER = UserQuery(
+    user_id="1",
+    user_text='{"gender":"F","age":1,"occupation":10,"zipcode":"48067"}',
+)
+
+
+# -- services ----------------------------------------------------------------
+
+
+class ModelService:
+    """Trained-encoder service (parity: ``Model``, service.py:96-134)."""
+
+    def __init__(self, artifact_dir: str | pathlib.Path) -> None:
+        self.model = RecommenderModel.load(pathlib.Path(artifact_dir) / TRANSFORMER_PATH)
+        self.embed_dim = self.model.config.resolved_input_dim
+
+    def max_seq_length(self) -> int:
+        return self.model.max_seq_length
+
+    def embed(self, queries: list[Query]) -> list[Query]:
+        """Batched: pad variable-length ``input_embeds`` to one (B, S, D)
+        tensor, single forward, write back ``embedding``."""
+        s = self.max_seq_length()
+        batch = np.zeros((len(queries), s, self.embed_dim), np.float32)
+        for i, query in enumerate(queries):
+            if query.input_embeds is not None:
+                window = np.asarray(query.input_embeds, np.float32)[-s:]
+                batch[i, : len(window)] = window
+        out = self.model(item_embeds=batch)
+        embeddings = np.asarray(out["sentence_embedding"])
+        for query, emb in zip(queries, embeddings):
+            query.embedding = [float(x) for x in emb]
+        return queries
+
+
+class ItemIndexService:
+    """Item retrieval service (parity: ``ItemIndex``, service.py:137-180)."""
+
+    def __init__(self, artifact_dir: str | pathlib.Path, *, mesh=None) -> None:
+        config = IndexConfig(
+            index_path=str(pathlib.Path(artifact_dir) / INDEX_PATH),
+            table_name=ITEMS_TABLE_NAME,
+            id_col="item_id",
+            text_col="item_text",
+            embedding_col="embedding",
+        )
+        backend = INDEX_BACKENDS[config.backend]
+        kwargs = {"mesh": mesh} if config.backend == "device" else {}
+        self.index = backend.load(config, **kwargs)
+        # stored frozen embeddings backing the query-normalization chain
+        emb_path = (
+            pathlib.Path(artifact_dir) / INDEX_PATH / ITEMS_TABLE_NAME / "embeddings.npy"
+        )
+        self._embeddings = np.load(emb_path)
+
+    def search(self, query: Query) -> list[ItemCandidate]:
+        assert query.embedding is not None
+        results = self.index.search(
+            np.asarray(query.embedding, np.float32),
+            exclude_item_ids=query.exclude_item_ids,
+            top_k=query.top_k,
+        )
+        return [
+            ItemCandidate(
+                item_id=r["item_id"], item_text=r["item_text"], score=r["score"]
+            )
+            for r in results
+        ]
+
+    def _attach_embedding(self, row: dict[str, Any]) -> ItemQuery:
+        pos = self.index.store._pos[row["item_id"]]
+        return ItemQuery(
+            item_id=row["item_id"],
+            item_text=row["item_text"],
+            embedding=[float(x) for x in self._embeddings[pos]],
+        )
+
+    def get_id(self, item_id: str) -> ItemQuery:
+        row = self.index.get_id(item_id)
+        if not row:
+            msg = f"item not found: item_id = {item_id!r}"
+            raise NotFound(msg)
+        return self._attach_embedding(row)
+
+    def get_ids(self, item_ids: list[str]) -> dict[str, ItemQuery]:
+        rows = self.index.get_ids(item_ids)
+        items = [self._attach_embedding(r) for r in rows]
+        return {item.item_id: item for item in items}
+
+
+class UserIndexService:
+    """User lookup service (parity: ``UserIndex``, service.py:183-203)."""
+
+    def __init__(self, artifact_dir: str | pathlib.Path) -> None:
+        config = IndexConfig(
+            index_path=str(pathlib.Path(artifact_dir) / INDEX_PATH),
+            table_name=USERS_TABLE_NAME,
+            id_col="user_id",
+            text_col="user_text",
+            embedding_col=None,
+            backend="host",
+        )
+        self.index = INDEX_BACKENDS["host"].load(config)
+
+    def get_id(self, user_id: str) -> UserQuery:
+        row = self.index.get_id(user_id)
+        if not row:
+            msg = f"user not found: user_id = {user_id!r}"
+            raise NotFound(msg)
+        return UserQuery(
+            user_id=row["user_id"],
+            user_text=row.get("user_text") or "",
+            history=_activity(row.get("history")),
+            target=_activity(row.get("target")),
+        )
+
+
+def _activity(struct: dict | None) -> Activity | None:
+    if not struct:
+        return None
+    return Activity(
+        item_id=[str(x) for x in struct.get("item_id", [])],
+        item_text=[str(x) for x in struct.get("item_text", [])],
+    )
+
+
+class Service:
+    """Composite service (parity: ``Service``, service.py:206-315)."""
+
+    def __init__(self, artifact_dir: str | pathlib.Path, *, mesh=None) -> None:
+        self.artifact_dir = pathlib.Path(artifact_dir)
+        self.model = ModelService(artifact_dir)
+        self.item_index = ItemIndexService(artifact_dir, mesh=mesh)
+        self.user_index = UserIndexService(artifact_dir)
+        manifest_path = self.artifact_dir / "manifest.json"
+        self.manifest = (
+            json.loads(manifest_path.read_text())
+            if manifest_path.exists()
+            else {"name": MODEL_NAME, "version": "unversioned"}
+        )
+
+    # -- async APIs ----------------------------------------------------------
+
+    async def recommend_with_query(self, query: Query) -> list[ItemCandidate]:
+        query = await self.process_query(query)
+        query = await self.embed_query(query)
+        query.exclude_item_ids = [
+            *(query.exclude_item_ids or []),
+            *(query.item_ids or []),
+        ]
+        if query.embedding is None:
+            return []
+        return self.item_index.search(query)
+
+    async def process_query(self, query: Query) -> Query:
+        """item_ids -> stored frozen embeddings, truncated to the last
+        window (parity: service.py:226-239)."""
+        if query.item_ids is None:
+            return query
+        if query.input_embeds is not None:
+            return query
+        items = self.item_index.get_ids(query.item_ids)
+        item_ids = [i for i in query.item_ids if i in items]
+        query.item_ids = item_ids[-self.model.max_seq_length() :]
+        embeddings = [items[i].embedding for i in query.item_ids]
+        query.input_embeds = embeddings if embeddings else None
+        return query
+
+    async def embed_query(self, query: Query) -> Query:
+        if query.input_embeds is None:
+            return query
+        if query.embedding is not None:
+            return query
+        return self.model.embed([query])[0]
+
+    async def recommend_with_item_id(
+        self,
+        item_id: str,
+        exclude_item_ids: list[str] | None = None,
+        top_k: int = TOP_K,
+    ) -> list[ItemCandidate]:
+        item = await self.item_id(item_id)
+        query = Query(
+            item_ids=[item.item_id],
+            item_texts=[item.item_text],
+            input_embeds=[item.embedding] if item.embedding is not None else None,
+            exclude_item_ids=exclude_item_ids,
+            top_k=top_k,
+        )
+        return await self.recommend_with_query(query)
+
+    async def recommend_with_user_id(
+        self,
+        user_id: str,
+        exclude_item_ids: list[str] | None = None,
+        top_k: int = TOP_K,
+    ) -> list[ItemCandidate]:
+        user = await self.user_id(user_id)
+        item_ids: list[str] = []
+        item_texts: list[str] = []
+        if user.history:
+            item_ids += user.history.item_id
+            item_texts += user.history.item_text
+        if user.target:
+            item_ids += user.target.item_id
+            item_texts += user.target.item_text
+        query = Query(
+            item_ids=item_ids,
+            item_texts=item_texts,
+            exclude_item_ids=exclude_item_ids,
+            top_k=top_k,
+        )
+        return await self.recommend_with_query(query)
+
+    async def item_id(self, item_id: str) -> ItemQuery:
+        return self.item_index.get_id(item_id)
+
+    async def user_id(self, user_id: str) -> UserQuery:
+        return self.user_index.get_id(user_id)
+
+    async def model_version(self) -> str:
+        return str(self.manifest["version"])
+
+    async def model_name(self) -> str:
+        return str(self.manifest["name"])
+
+    # -- HTTP surface --------------------------------------------------------
+
+    def to_asgi(self) -> JSONApp:
+        app = JSONApp()
+
+        @app.route("recommend_with_query")
+        async def _recommend_with_query(payload: dict):
+            query = Query.model_validate(payload.get("query") or payload)
+            recs = await self.recommend_with_query(query)
+            return [r.model_dump() for r in recs]
+
+        @app.route("recommend_with_item_id")
+        async def _recommend_with_item_id(payload: dict):
+            recs = await self.recommend_with_item_id(
+                item_id=payload["item_id"],
+                exclude_item_ids=payload.get("exclude_item_ids"),
+                top_k=payload.get("top_k", TOP_K),
+            )
+            return [r.model_dump() for r in recs]
+
+        @app.route("recommend_with_user_id")
+        async def _recommend_with_user_id(payload: dict):
+            recs = await self.recommend_with_user_id(
+                user_id=payload["user_id"],
+                exclude_item_ids=payload.get("exclude_item_ids"),
+                top_k=payload.get("top_k", TOP_K),
+            )
+            return [r.model_dump() for r in recs]
+
+        @app.route("embed_query")
+        async def _embed_query(payload: dict):
+            query = Query.model_validate(payload.get("query") or payload)
+            query = await self.process_query(query)
+            return (await self.embed_query(query)).model_dump()
+
+        @app.route("item_id")
+        async def _item_id(payload: dict):
+            return (await self.item_id(payload["item_id"])).model_dump()
+
+        @app.route("user_id")
+        async def _user_id(payload: dict):
+            return (await self.user_id(payload["user_id"])).model_dump()
+
+        @app.route("model_name")
+        async def _model_name(payload: dict):
+            return await self.model_name()
+
+        @app.route("model_version")
+        async def _model_version(payload: dict):
+            return await self.model_version()
+
+        return app

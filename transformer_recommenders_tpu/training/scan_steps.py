@@ -1,0 +1,88 @@
+"""Multi-step training dispatch: ``lax.scan`` over K steps inside one jit.
+
+The reference dispatches one optimizer step per Python iteration (Lightning
+loop).  On TPU, per-dispatch host latency (worse over a tunneled chip) can
+rival the step itself at small model sizes, so the framework offers a
+scanned driver: K pre-staged batches -> ONE device program running K
+train steps -> K logs.  No Python in the hot loop; XLA pipelines the whole
+window.
+
+Used by the trainer when ``steps_per_dispatch > 1`` and by bench.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from transformer_recommenders_tpu.configs import TrainConfig
+from transformer_recommenders_tpu.models.recommender import compute_embeds
+from transformer_recommenders_tpu.ops import losses as loss_lib
+from transformer_recommenders_tpu.training.train_state import (
+    TrainState,
+    make_optimizer,
+)
+
+
+def make_scanned_train_steps(config: TrainConfig, *, with_logs: bool = True):
+    """Build ``steps(state, table, batches, rng) -> (state, logs)`` where
+    ``batches`` holds arrays with a leading steps dimension ``(K, B, S)``.
+
+    Logs are per-step arrays of shape (K,) (selected loss + positives
+    count); the full per-loss log dict of the single-step path is traded
+    for dispatch efficiency — the trainer logs the window means.
+    """
+    opt = make_optimizer(config)
+    train_loss = config.train_loss
+
+    def loss_fn(params, table, batch, rng):
+        embeds = compute_embeds(
+            params,
+            config,
+            table,
+            batch["history_item_idx"],
+            batch["pos_item_idx"],
+            batch["neg_item_idx"],
+            dropout_rng=rng,
+        )
+        losses = loss_lib.compute_losses(
+            config,
+            embeds["query"],
+            embeds["pos_embed"],
+            embeds["neg_pool"],
+            embeds["row_valid"],
+            embeds["neg_valid"],
+            loss_names=(train_loss,),
+        )
+        pos_nz = jnp.sum(embeds["positive_mask"].astype(jnp.float32))
+        return losses[train_loss], pos_nz
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    @jax.jit
+    def steps(state: TrainState, table, batches, rng):
+        def body(state, batch):
+            step_rng = jax.random.fold_in(rng, state.step)
+            (loss, pos_nz), grads = grad_fn(state.params, table, batch, step_rng)
+            updates, opt_state = opt.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(params, opt_state, state.step + 1)
+            logs = (loss, pos_nz) if with_logs else (loss,)
+            return new_state, logs
+
+        state, logs = jax.lax.scan(body, state, batches)
+        if with_logs:
+            return state, {f"loss/{train_loss}": logs[0], "batch/positive_non_zero": logs[1]}
+        return state, {f"loss/{train_loss}": logs[0]}
+
+    return steps
+
+
+def stack_batches(batches: list[dict]) -> dict:
+    """Stack K host batches into (K, B, S) arrays for one scanned dispatch."""
+    import numpy as np
+
+    return {
+        key: np.stack([b[key] for b in batches]) for key in batches[0]
+    }

@@ -98,6 +98,17 @@ class Trainer:
         monitor_best = -np.inf if cfg.monitor_mode == "max" else np.inf
         patience_left = cfg.early_stopping_patience
         best_ckpt = pathlib.Path(cfg.ckpt_dir) / "best"
+        # configs sidecar so deploy can rebuild trainer+datamodule from the
+        # checkpoint alone (parity: Lightning hparams restore,
+        # xfmr_rec/trainer.py:465-475)
+        best_ckpt.parent.mkdir(parents=True, exist_ok=True)
+        import json
+
+        (best_ckpt.parent / "config.json").write_text(
+            json.dumps(
+                {"model": cfg.model_dump(), "data": dm.config.model_dump()}, indent=2
+            )
+        )
         last_val: dict[str, float] = {}
         root_key = jax.random.key(cfg.seed)
         t_start = time.time()
@@ -196,24 +207,68 @@ class Trainer:
     # -- artifacts -----------------------------------------------------------
 
     def save(self, path: str | pathlib.Path) -> None:
-        """Persist serving artifacts: model + items/users data + embeddings.
-        Parity: ``RecommenderLightningModule.save``
-        (``xfmr_rec/trainer.py:364-373``)."""
-        from transformer_recommenders_tpu.params import TRANSFORMER_PATH
+        """Persist serving artifacts: model + item index + user store +
+        manifest.  Parity: ``RecommenderLightningModule.save`` = transformer
+        dir + LanceDB copy (``xfmr_rec/trainer.py:364-373``)."""
+        import datetime
+        import json
+        import shutil
+
+        from transformer_recommenders_tpu.configs import IndexConfig
+        from transformer_recommenders_tpu.index.device_index import DeviceIndex
+        from transformer_recommenders_tpu.params import (
+            INDEX_PATH,
+            MODEL_NAME,
+            TRANSFORMER_PATH,
+            USERS_TABLE_NAME,
+        )
 
         path = pathlib.Path(path)
         path.mkdir(parents=True, exist_ok=True)
         assert self.model is not None
         self.model.save(path / TRANSFORMER_PATH)
 
-        import shutil
-
         dm = self.datamodule
-        store = path / "index_store"
-        store.mkdir(parents=True, exist_ok=True)
-        shutil.copy(dm.dataset_dir / "items.parquet", store / "items.parquet")
-        shutil.copy(dm.dataset_dir / "users.parquet", store / "users.parquet")
-        np.save(store / "item_embeddings.npy", dm.item_embeddings)
+        store = path / INDEX_PATH
+
+        items_index = DeviceIndex(
+            IndexConfig(
+                index_path=str(store),
+                table_name="items",
+                id_col="item_id",
+                text_col="item_text",
+                embedding_col="embedding",
+            )
+        )
+        items_index.index_data(dm.items, embeddings=dm.item_embeddings)
+        items_index.save(store)
+
+        # users: copy raw parquet (struct-of-list columns) + config sidecar
+        users_dir = store / USERS_TABLE_NAME
+        users_dir.mkdir(parents=True, exist_ok=True)
+        shutil.copy(dm.dataset_dir / "users.parquet", users_dir / "records.parquet")
+        users_config = IndexConfig(
+            index_path=str(store),
+            table_name=USERS_TABLE_NAME,
+            id_col="user_id",
+            text_col="user_text",
+            embedding_col=None,
+            backend="host",
+        )
+        (users_dir / "config.json").write_text(users_config.model_dump_json(indent=2))
+
+        (path / "manifest.json").write_text(
+            json.dumps(
+                {
+                    "name": MODEL_NAME,
+                    "version": datetime.datetime.now(datetime.UTC).strftime(
+                        "%Y%m%d%H%M%S"
+                    ),
+                    "step": int(self.state.step) if self.state is not None else 0,
+                },
+                indent=2,
+            )
+        )
 
 
 def _slice_arrays(arrays, n: int):
