@@ -47,6 +47,7 @@ class SeqData:
         item_ids: list[str],
         histories: list[tuple[np.ndarray, np.ndarray]],
         seed: int = 0,
+        backend: str = "auto",
     ) -> None:
         """
         Args:
@@ -78,6 +79,31 @@ class SeqData:
             copies = (len(idx) - 1) // config.max_seq_length + 1
             rows.extend([(idx, labels)] * copies)
         self.rows = rows
+
+        # flat row arrays for the native batched sampler (+ its handle).
+        # backend="auto" uses the C++ sampler when a toolchain exists and
+        # falls back to numpy; "numpy" forces the python path.  Both
+        # implement the same sampling distributions; their RNG streams
+        # differ (splitmix64 vs numpy Philox), so batches are reproducible
+        # per backend but not identical across backends.
+        self._native = None
+        if backend in ("auto", "native"):
+            from transformer_recommenders_tpu.native import load_native_sampler
+
+            self._native = load_native_sampler()
+            if self._native is None and backend == "native":
+                msg = "native sampler requested but no C++ toolchain available"
+                raise RuntimeError(msg)
+        if self._native is not None:
+            self._offsets = np.zeros(len(rows) + 1, np.int64)
+            for i, (idx, _) in enumerate(rows):
+                self._offsets[i + 1] = self._offsets[i] + len(idx)
+            self._values = np.concatenate(
+                [idx for idx, _ in rows] or [np.zeros(0, np.int32)]
+            ).astype(np.int32)
+            self._labels = np.concatenate(
+                [lab for _, lab in rows] or [np.zeros(0, bool)]
+            ).astype(np.uint8)
 
     def __len__(self) -> int:
         return len(self.rows)
@@ -145,6 +171,9 @@ class SeqData:
         ``drop_remainder``.
         """
         s = self.config.max_seq_length
+        if self._native is not None:
+            yield from self._native_epoch_batches(epoch, batch_size, drop_remainder)
+            return
         rng = np.random.default_rng(
             np.random.SeedSequence([self.seed, epoch, len(self.rows)])
         )
@@ -161,6 +190,36 @@ class SeqData:
                 hist[b, : len(h)] = h
                 pos[b, : len(p)] = p
                 neg[b, : len(ng)] = ng
+            yield {
+                "history_item_idx": hist,
+                "pos_item_idx": pos,
+                "neg_item_idx": neg,
+            }
+
+    def _native_epoch_batches(
+        self, epoch: int, batch_size: int, drop_remainder: bool
+    ) -> Iterator[dict[str, np.ndarray]]:
+        n = len(self.rows)
+        order = self._native.shuffled_order(n, self.seed, epoch)
+        for lo in range(0, n, batch_size):
+            chunk = order[lo : lo + batch_size]
+            if drop_remainder and len(chunk) < batch_size:
+                return
+            if len(chunk) < batch_size:  # pad with out-of-range rows -> zeros
+                chunk = np.concatenate(
+                    [chunk, np.full(batch_size - len(chunk), -1, np.int64)]
+                )
+            hist, pos, neg = self._native.sample_batch(
+                self._values,
+                self._labels,
+                self._offsets,
+                chunk,
+                max_seq=self.config.max_seq_length,
+                pos_lookahead=self.config.pos_lookahead,
+                num_items=self.num_items,
+                seed=self.seed,
+                epoch=epoch,
+            )
             yield {
                 "history_item_idx": hist,
                 "pos_item_idx": pos,
