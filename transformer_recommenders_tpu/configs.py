@@ -153,6 +153,9 @@ class TrainConfig(LossConfig, ModelConfig):
     """Flattened training config.  Parity: ``xfmr_rec/trainer.py:98-115``."""
 
     train_loss: LossType = "InfoNCELoss"
+    # fuse the in-batch loss into a Pallas kernel (no HBM logit matrix);
+    # auto-disabled on CPU backends
+    use_fused_loss: bool = True
     learning_rate: float = 0.001
     weight_decay: float = 0.01
     max_epochs: int = 1
@@ -167,6 +170,10 @@ class TrainConfig(LossConfig, ModelConfig):
     limit_val_batches: int = -1
     eval_batch_size: int = 256
     ckpt_dir: str = "checkpoints"
+    # when set, capture a jax.profiler trace of training steps into this dir
+    # (view with tensorboard/xprof); SURVEY.md §5.1
+    profile_dir: str | None = None
+    steps_per_dispatch: int = 1  # >1: lax.scan-ed multi-step dispatch
 
     items_config: IndexConfig = IndexConfig(
         table_name=ITEMS_TABLE_NAME,

@@ -24,6 +24,7 @@ class MetricsLogger:
         self._csv_fields: list[str] | None = None
         self._echo = echo
         self._t0 = time.time()
+        self._tb = _maybe_tensorboard(self.log_dir)
 
     def log(self, metrics: dict[str, float], *, step: int, prefix: str = "") -> None:
         record = {
@@ -33,6 +34,10 @@ class MetricsLogger:
         }
         self._jsonl.write(json.dumps(record) + "\n")
         self._write_csv(record)
+        if self._tb is not None:
+            for k, v in record.items():
+                if k not in {"step", "time"}:
+                    self._tb.add_scalar(k, v, step)
         if self._echo:
             shown = {
                 k: round(v, 4)
@@ -51,6 +56,19 @@ class MetricsLogger:
 
     def close(self) -> None:
         self._jsonl.close()
+
+
+def _maybe_tensorboard(log_dir: pathlib.Path):
+    """Optional TensorBoard backend (parity: reference TensorBoardLogger,
+    ``xfmr_rec/trainer.py:429-437``); silently absent without the package."""
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+    except Exception:  # noqa: BLE001 — any import failure disables TB
+        return None
+    try:
+        return SummaryWriter(str(log_dir / "tb"))
+    except Exception:  # noqa: BLE001
+        return None
 
 
 def _to_float(v) -> float:

@@ -35,6 +35,9 @@ def make_scanned_train_steps(config: TrainConfig, *, with_logs: bool = True):
     """
     opt = make_optimizer(config)
     train_loss = config.train_loss
+    from transformer_recommenders_tpu.training.train_state import _fused_loss_enabled
+
+    use_fused = _fused_loss_enabled(config) and train_loss == "InfoNCELoss"
 
     def loss_fn(params, table, batch, rng):
         embeds = compute_embeds(
@@ -46,17 +49,32 @@ def make_scanned_train_steps(config: TrainConfig, *, with_logs: bool = True):
             batch["neg_item_idx"],
             dropout_rng=rng,
         )
-        losses = loss_lib.compute_losses(
-            config,
-            embeds["query"],
-            embeds["pos_embed"],
-            embeds["neg_pool"],
-            embeds["row_valid"],
-            embeds["neg_valid"],
-            loss_names=(train_loss,),
-        )
+        if use_fused:
+            from transformer_recommenders_tpu.ops.fused_infonce import (
+                fused_infonce_loss,
+            )
+
+            loss = fused_infonce_loss(
+                embeds["query"],
+                embeds["pos_embed"],
+                embeds["neg_pool"],
+                embeds["row_valid"],
+                embeds["neg_valid"],
+                scale=config.scale,
+                mask_false_negatives=config.mask_false_negatives,
+            )
+        else:
+            loss = loss_lib.compute_losses(
+                config,
+                embeds["query"],
+                embeds["pos_embed"],
+                embeds["neg_pool"],
+                embeds["row_valid"],
+                embeds["neg_valid"],
+                loss_names=(train_loss,),
+            )[train_loss]
         pos_nz = jnp.sum(embeds["positive_mask"].astype(jnp.float32))
-        return losses[train_loss], pos_nz
+        return loss, pos_nz
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 

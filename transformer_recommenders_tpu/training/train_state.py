@@ -33,6 +33,16 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
+def _fused_loss_enabled(config: TrainConfig) -> bool:
+    """Fused Pallas loss only off-CPU (interpret mode would be slow)."""
+    if not getattr(config, "use_fused_loss", False):
+        return False
+    try:
+        return jax.default_backend() != "cpu"
+    except RuntimeError:  # pragma: no cover - backend init failure
+        return False
+
+
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
     return optax.adamw(
         config.learning_rate, weight_decay=config.weight_decay
@@ -55,6 +65,7 @@ def make_train_step(config: TrainConfig):
     loss_names = tuple(loss_lib.LOSS_FNS)
     model_cfg = config  # TrainConfig subclasses ModelConfig
     loss_cfg = config  # ... and LossConfig
+    use_fused = _fused_loss_enabled(config)
 
     def loss_fn(params, item_table, batch, rng):
         embeds = compute_embeds(
@@ -102,7 +113,23 @@ def make_train_step(config: TrainConfig):
             "batch/positive_non_zero": pos_nz,
             "batch/positive_density": pos_nz / (attn_nz + 1e-9),
         }
-        return all_losses[config.train_loss], logs
+        if use_fused and config.train_loss == "InfoNCELoss":
+            from transformer_recommenders_tpu.ops.fused_infonce import (
+                fused_infonce_loss,
+            )
+
+            objective = fused_infonce_loss(
+                embeds["query"],
+                embeds["pos_embed"],
+                embeds["neg_pool"],
+                embeds["row_valid"],
+                embeds["neg_valid"],
+                scale=config.scale,
+                mask_false_negatives=config.mask_false_negatives,
+            )
+        else:
+            objective = all_losses[config.train_loss]
+        return objective, logs
 
     @jax.jit
     def train_step(state: TrainState, item_table, batch, rng):

@@ -48,6 +48,8 @@ class Trainer:
         self.logger = MetricsLogger(self.log_dir)
         self.model: RecommenderModel | None = None
         self.state: TrainState | None = None
+        self.mesh = None
+        self._placed_table = None
         self._train_step = None
         self._evaluator: Evaluator | None = None
 
@@ -72,10 +74,42 @@ class Trainer:
         if self.model is None:
             self.model = RecommenderModel(cfg, rng=jax.random.key(cfg.seed))
             self.model.configure_embeddings(dm.item_ids, dm.item_embeddings)
+
+        # sharded mode whenever >1 device is visible (or a model axis is
+        # requested): DP batch sharding + row-sharded frozen table +
+        # distributed-invariant loss (parallel/train.py).  The reference has
+        # no working distributed path at all (SURVEY.md §2.3).
+        if self.mesh is None and (
+            len(jax.devices()) > 1 or cfg.mesh.model_axis_size > 1
+        ):
+            from transformer_recommenders_tpu.parallel import mesh as pmesh
+            from transformer_recommenders_tpu.parallel.embedding import place_table
+
+            pmesh.maybe_initialize_distributed()
+            self.mesh = pmesh.create_mesh(cfg.mesh)
+            if dm.config.batch_size % self.mesh.shape["data"] != 0:
+                msg = (
+                    f"batch_size={dm.config.batch_size} must be divisible by "
+                    f"the data axis ({self.mesh.shape['data']})"
+                )
+                raise ValueError(msg)
+            self._placed_table = place_table(
+                np.asarray(self.model.item_table), self.mesh
+            )
+
         if self.state is None:
             self.state = init_train_state(cfg, self.model.params)
         if self._train_step is None:
-            self._train_step = make_train_step(cfg)
+            if self.mesh is not None:
+                from transformer_recommenders_tpu.parallel.train import (
+                    make_sharded_train_step,
+                    place_state,
+                )
+
+                self._train_step = make_sharded_train_step(cfg, self.mesh)
+                self.state = place_state(self.state, self.mesh)
+            else:
+                self._train_step = make_train_step(cfg)
         if self._evaluator is None:
             self._evaluator = Evaluator(cfg)
 
@@ -115,63 +149,149 @@ class Trainer:
         examples = 0
         stop = False
 
-        for epoch in range(cfg.max_epochs):
-            for i, batch in enumerate(dm.train_batches(epoch)):
-                if 0 <= cfg.limit_train_batches <= i:
-                    break
-                step_key = jax.random.fold_in(root_key, int(self.state.step))
-                self.state, logs = self._train_step(
-                    self.state, self.model.item_table, batch, step_key
-                )
-                examples += batch["history_item_idx"].shape[0]
-                step = int(self.state.step)
-                if step % cfg.log_every_n_steps == 0:
-                    logs = {k: float(v) for k, v in logs.items()}
-                    logs["train/examples_per_s"] = examples / max(
-                        time.time() - t_start, 1e-9
+        profiling = False
+        if cfg.profile_dir:
+            jax.profiler.start_trace(cfg.profile_dir)
+            profiling = True
+        try:
+            for epoch in range(cfg.max_epochs):
+                if cfg.steps_per_dispatch > 1 and self.mesh is None:
+                    stop, examples = self._run_epoch_scanned(
+                        epoch, root_key, t_start, examples
                     )
-                    self.logger.log(logs, step=step)
-                if 0 <= cfg.max_steps <= step:
-                    stop = True
-                    break
-                if time.time() - t_start > cfg.max_time_seconds:
-                    stop = True
-                    break
+                else:
+                    stop, examples = self._run_epoch(
+                        epoch, root_key, t_start, examples
+                    )
 
-            self.model.params = self.state.params
-            last_val = self.validate(stage="val")
-            self.logger.log(last_val, step=int(self.state.step))
+                self.model.params = self.state.params
+                last_val = self.validate(stage="val")
+                self.logger.log(last_val, step=int(self.state.step))
 
-            score = last_val.get(cfg.monitor, np.nan)
-            improved = (
-                score > monitor_best
-                if cfg.monitor_mode == "max"
-                else score < monitor_best
-            )
-            if improved or not np.isfinite(monitor_best):
-                monitor_best = score
-                patience_left = cfg.early_stopping_patience
-                ckpt_lib.save_checkpoint(
-                    best_ckpt, self.state, epoch=epoch, metrics=last_val
+                score = last_val.get(cfg.monitor, np.nan)
+                improved = (
+                    score > monitor_best
+                    if cfg.monitor_mode == "max"
+                    else score < monitor_best
                 )
-            else:
-                patience_left -= 1
-                if patience_left <= 0:
-                    stop = True
-            ckpt_lib.save_checkpoint(
-                pathlib.Path(cfg.ckpt_dir) / "last",
-                self.state,
-                epoch=epoch,
-                metrics=last_val,
-            )
-            if stop:
-                break
+                if improved or not np.isfinite(monitor_best):
+                    monitor_best = score
+                    patience_left = cfg.early_stopping_patience
+                    ckpt_lib.save_checkpoint(
+                        best_ckpt, self.state, epoch=epoch, metrics=last_val
+                    )
+                else:
+                    patience_left -= 1
+                    if patience_left <= 0:
+                        stop = True
+                ckpt_lib.save_checkpoint(
+                    pathlib.Path(cfg.ckpt_dir) / "last",
+                    self.state,
+                    epoch=epoch,
+                    metrics=last_val,
+                )
+                if stop:
+                    break
+        finally:
+            if profiling:
+                jax.profiler.stop_trace()
 
         # restore best weights (parity: Lightning ckpt_path="best")
         if (best_ckpt / "state.npz").exists():
             self.state, _ = ckpt_lib.load_checkpoint(best_ckpt, self.state)
             self.model.params = self.state.params
         return {**last_val, "train/examples_per_s": examples / max(time.time() - t_start, 1e-9)}
+
+    def _run_epoch(
+        self, epoch: int, root_key, t_start: float, examples: int
+    ) -> tuple[bool, int]:
+        """One epoch of single-step dispatches (sharded or single-device)."""
+        cfg = self.config
+        for i, batch in enumerate(self.datamodule.train_batches(epoch)):
+            if 0 <= cfg.limit_train_batches <= i:
+                break
+            step_key = jax.random.fold_in(root_key, int(self.state.step))
+            if self.mesh is not None:
+                from transformer_recommenders_tpu.parallel.mesh import shard_batch
+
+                placed = shard_batch(batch, self.mesh)
+                self.state, logs = self._train_step(
+                    self.state, self._placed_table, placed, step_key
+                )
+            else:
+                self.state, logs = self._train_step(
+                    self.state, self.model.item_table, batch, step_key
+                )
+            examples += batch["history_item_idx"].shape[0]
+            step = int(self.state.step)
+            if step % cfg.log_every_n_steps == 0:
+                logs = {k: float(v) for k, v in logs.items()}
+                logs["train/examples_per_s"] = examples / max(
+                    time.time() - t_start, 1e-9
+                )
+                self.logger.log(logs, step=step)
+            if 0 <= cfg.max_steps <= step:
+                return True, examples
+            if time.time() - t_start > cfg.max_time_seconds:
+                return True, examples
+        return False, examples
+
+    def _run_epoch_scanned(
+        self, epoch: int, root_key, t_start: float, examples: int
+    ) -> tuple[bool, int]:
+        """One epoch via multi-step scanned dispatches (K steps/program)."""
+        from transformer_recommenders_tpu.training.scan_steps import (
+            make_scanned_train_steps,
+            stack_batches,
+        )
+
+        cfg = self.config
+        if getattr(self, "_scan_step", None) is None:
+            self._scan_step = make_scanned_train_steps(cfg)
+        k = cfg.steps_per_dispatch
+        window: list[dict] = []
+
+        def flush(window):
+            nonlocal examples
+            stacked = stack_batches(window)
+            self.state, logs = self._scan_step(
+                self.state, self.model.item_table, stacked, root_key
+            )
+            examples += sum(b["history_item_idx"].shape[0] for b in window)
+            step = int(self.state.step)
+            means = {key: float(np.mean(np.asarray(v))) for key, v in logs.items()}
+            means["train/examples_per_s"] = examples / max(
+                time.time() - t_start, 1e-9
+            )
+            if step // k % max(cfg.log_every_n_steps // k, 1) == 0:
+                self.logger.log(means, step=step)
+
+        for i, batch in enumerate(self.datamodule.train_batches(epoch)):
+            if 0 <= cfg.limit_train_batches <= i:
+                break
+            window.append(batch)
+            if len(window) == k:
+                flush(window)
+                window = []
+                if 0 <= cfg.max_steps <= int(self.state.step):
+                    return True, examples
+                if time.time() - t_start > cfg.max_time_seconds:
+                    return True, examples
+        # the ragged tail reuses the single-step path to keep shapes static
+        if window:
+            if getattr(self, "_single_step", None) is None:
+                from transformer_recommenders_tpu.training.train_state import (
+                    make_train_step,
+                )
+
+                self._single_step = make_train_step(cfg)
+            for batch in window:
+                step_key = jax.random.fold_in(root_key, int(self.state.step))
+                self.state, _ = self._single_step(
+                    self.state, self.model.item_table, batch, step_key
+                )
+                examples += batch["history_item_idx"].shape[0]
+        return False, examples
 
     # -- eval ----------------------------------------------------------------
 
