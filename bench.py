@@ -156,14 +156,56 @@ def bench_torch_reference() -> float:
     return eps
 
 
+def bench_retrieval_qps() -> dict:
+    """On-device exact MIPS top-100 over an ML-25M-scale catalog
+    (62k items x 384-d), the BASELINE.md retrieval benchmark."""
+    import jax
+    import jax.numpy as jnp
+
+    from transformer_recommenders_tpu.ops.topk import topk_items
+
+    rng = np.random.default_rng(0)
+    n_items, d, k = 62_000, 384, 100
+    items = jnp.asarray(rng.normal(size=(n_items, d)).astype(np.float32))
+    out = {}
+    fn = jax.jit(lambda q: topk_items(q, items, k)[1])
+    for qbatch in (1, 32, 256):
+        q = jnp.asarray(rng.normal(size=(qbatch, d)).astype(np.float32))
+        fn(q).block_until_ready()
+        t0 = time.time()
+        reps = 50
+        for _ in range(reps):
+            idx = fn(q)
+        idx.block_until_ready()
+        dt = time.time() - t0
+        out[f"qps_batch{qbatch}"] = round(qbatch * reps / dt, 1)
+        out[f"latency_ms_batch{qbatch}"] = round(dt / reps * 1000, 3)
+    log(f"retrieval top-100 over {n_items}x{d}: {out}")
+    return out
+
+
 def main() -> None:
     ours = bench_ours()
+    try:
+        retrieval = bench_retrieval_qps()
+    except Exception as exc:  # noqa: BLE001
+        log(f"retrieval bench failed: {exc!r}")
+        retrieval = {}
     try:
         baseline = bench_torch_reference()
     except Exception as exc:  # noqa: BLE001 — baseline is best-effort
         log(f"torch baseline failed: {exc!r}")
         baseline = float("nan")
     vs = ours / baseline if baseline == baseline and baseline > 0 else float("nan")
+    details = {
+        "train_examples_per_s": round(ours, 1),
+        "torch_reference_examples_per_s": round(baseline, 1)
+        if baseline == baseline
+        else None,
+        "retrieval": retrieval,
+    }
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(details, f, indent=2)
     print(
         json.dumps(
             {

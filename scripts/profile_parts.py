@@ -54,11 +54,18 @@ def step(state):
     g = jax.grad(full_loss)(state.params)
     u, os_ = opt.update(g, state.opt_state, state.params)
     return state._replace(params=optax.apply_updates(state.params, u), opt_state=os_, step=state.step+1)
-timed("full step (fused)", jax.jit(step, donate_argnums=0), state, reps=1)
-state2 = init_train_state(cfg, params)
-sj = jax.jit(step, donate_argnums=0)
-s = sj(state2); jax.block_until_ready(s.params)
+sj = jax.jit(step)
+st = sj(state); jax.block_until_ready(st.params)
 t0=time.time()
-for _ in range(20): s = sj(s)
-jax.block_until_ready(s.params)
-print(f"full step (fused, donated): {(time.time()-t0)/20*1000:.2f} ms", flush=True)
+for _ in range(20): st = sj(st)
+jax.block_until_ready(st.params)
+print(f"full step (fused): {(time.time()-t0)/20*1000:.2f} ms -> {256/((time.time()-t0)/20):.0f} ex/s", flush=True)
+
+# isolated kernel fwd
+e = jax.jit(lambda p: compute_embeds(p, cfg, table, batch["history_item_idx"], batch["pos_item_idx"], batch["neg_item_idx"]))(params)
+jax.block_until_ready(e["query"])
+kf = jax.jit(lambda q,pp,nn: fused_infonce_loss(q, pp, nn, e["row_valid"], e["neg_valid"]))
+timed("kernel fwd isolated", kf, e["query"], e["pos_embed"], e["neg_pool"])
+kg = jax.jit(jax.grad(lambda q: fused_infonce_loss(q, e["pos_embed"], e["neg_pool"], e["row_valid"], e["neg_valid"])))
+timed("kernel fwd+bwd isolated", kg, e["query"])
+

@@ -11,9 +11,17 @@ import pytest
 
 from transformer_recommenders_tpu.configs import LossConfig
 from transformer_recommenders_tpu.ops import losses as L
+from transformer_recommenders_tpu.ops import fused_infonce as FI
 from transformer_recommenders_tpu.ops.fused_infonce import fused_infonce_loss
 
 RNG = np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def exact_matmul(monkeypatch):
+    """Pin the kernel's MXU input dtype to f32 so values match the f32 XLA
+    oracle exactly; production default is bf16 (tested separately below)."""
+    monkeypatch.setattr(FI, "_MATMUL_DTYPE", jnp.float32)
 
 
 def reference_loss(cfg, q, p, n, row_valid, neg_valid):
@@ -83,6 +91,22 @@ def test_fused_gradients_match(mask_fn):
     g_fused = jax.grad(fused, argnums=(0, 1, 2))(q, p, n)
     for a, b in zip(g_ref, g_fused):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5)
+
+
+def test_bf16_matmul_within_tolerance(monkeypatch):
+    """Production bf16 MXU inputs stay within mixed-precision tolerance of
+    the f32 oracle (the reference itself trains bf16-mixed)."""
+    monkeypatch.setattr(FI, "_MATMUL_DTYPE", jnp.bfloat16)
+    q, p, n, row_valid, neg_valid = make_case(r=32, rn=32, d=16)
+    cfg = LossConfig()
+    expected = float(reference_loss(cfg, q, p, n, row_valid, neg_valid))
+    got = float(
+        fused_infonce_loss(
+            q, p, n, row_valid, neg_valid, tile_rows=16, tile_cols=128,
+            interpret=True,
+        )
+    )
+    assert abs(got - expected) / abs(expected) < 0.05
 
 
 def test_fused_all_negatives_masked():

@@ -121,3 +121,16 @@ def test_logs_written(trainer):
     assert jsonl.exists()
     lines = jsonl.read_text().strip().splitlines()
     assert len(lines) >= 2  # at least the two epoch-end val logs
+
+
+def test_checkpoint_orbax_backend(trainer, tmp_path):
+    state = trainer.state
+    ckpt_lib.save_checkpoint(
+        tmp_path / "oc", state, epoch=2, metrics={"m": 1.5}, backend="orbax"
+    )
+    restored, meta = ckpt_lib.load_checkpoint(tmp_path / "oc", state)
+    assert meta["epoch"] == 2 and meta["metrics"] == {"m": 1.5}
+    import jax
+
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

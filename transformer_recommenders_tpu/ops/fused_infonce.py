@@ -32,6 +32,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_BIG = -1e30  # large-finite; exp() underflows to 0 cleanly
 
+# MXU input precision for the pool matmuls (one bf16 pass instead of the
+# 3-6 passes an f32 matmul decomposes into).  The reference trains with
+# precision="bf16-mixed" (xfmr_rec/trainer.py:450), so bf16 logits are
+# reference-faithful; accumulation stays f32.  Tests may monkeypatch to
+# float32 for exact oracle comparison.
+_MATMUL_DTYPE = jnp.bfloat16
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -50,7 +57,9 @@ def _fwd_kernel(
 
     @pl.when(j == 0)
     def _init():
-        pos = jnp.sum(q_ref[:] * p_ref[:], axis=1) * scale  # (Tr,)
+        pos = jnp.sum(
+            q_ref[:].astype(jnp.float32) * p_ref[:].astype(jnp.float32), axis=1
+        ) * scale  # (Tr,)
         pos_scr[:] = pos
         m_scr[:] = pos  # running max starts at the positive logit
         a_scr[:] = jnp.ones_like(pos)  # exp(pos - pos) = 1
@@ -120,7 +129,9 @@ def _bwd_dq_kernel(
 ):
     j = pl.program_id(1)
 
-    pos = jnp.sum(q_ref[:] * p_ref[:], axis=1) * scale  # (Tr,)
+    pos = jnp.sum(
+        q_ref[:].astype(jnp.float32) * p_ref[:].astype(jnp.float32), axis=1
+    ) * scale  # (Tr,)
     lse = lse_ref[0, :]
     g = g_ref[0, :]
 
@@ -135,15 +146,15 @@ def _bwd_dq_kernel(
     if mask_fn:
         valid = valid & (logits < pos[:, None])
     qprob = jnp.where(valid, jnp.exp(logits - lse[:, None]), 0.0)  # (Tr, Tc)
-    dl = qprob * (g * scale)[:, None]
+    dl = (qprob * (g * scale)[:, None]).astype(n_ref.dtype)
     acc_scr[:, :] += jnp.dot(dl, n_ref[:], preferred_element_type=jnp.float32)
 
     @pl.when(j == num_col_tiles - 1)
     def _finish():
         pprob = jnp.exp(pos - lse)
         dpos = g * scale * (pprob - 1.0)  # (Tr,)
-        dq_ref[:, :] = acc_scr[:, :] + dpos[:, None] * p_ref[:]
-        dp_ref[:, :] = dpos[:, None] * q_ref[:]
+        dq_ref[:, :] = acc_scr[:, :] + dpos[:, None] * p_ref[:].astype(jnp.float32)
+        dp_ref[:, :] = dpos[:, None] * q_ref[:].astype(jnp.float32)
 
 
 def _bwd_dn_kernel(
@@ -156,7 +167,9 @@ def _bwd_dn_kernel(
     def _init():
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    pos = jnp.sum(q_ref[:] * p_ref[:], axis=1) * scale
+    pos = jnp.sum(
+        q_ref[:].astype(jnp.float32) * p_ref[:].astype(jnp.float32), axis=1
+    ) * scale
     lse = lse_ref[0, :]
     g = g_ref[0, :]
     logits = (
@@ -166,7 +179,7 @@ def _bwd_dn_kernel(
     if mask_fn:
         valid = valid & (logits < pos[:, None])
     qprob = jnp.where(valid, jnp.exp(logits - lse[:, None]), 0.0)
-    dl = qprob * (g * scale)[:, None]  # (Tr, Tc)
+    dl = (qprob * (g * scale)[:, None]).astype(q_ref.dtype)  # (Tr, Tc)
     acc_scr[:, :] += jnp.dot(dl.T, q_ref[:], preferred_element_type=jnp.float32)
 
     @pl.when(i == num_row_tiles - 1)
@@ -264,18 +277,15 @@ def fused_infonce_rowwise(
 
 
 def _fwd_with_lse(q, p, n, nv, scale, mask_fn, tr, tc, interpret):
+    qm, pm, nm = (x.astype(_MATMUL_DTYPE) for x in (q, p, n))
     with _maybe_interpret(interpret):
         ce = _fwd(
-            q.astype(jnp.float32),
-            p.astype(jnp.float32),
-            n.astype(jnp.float32),
-            nv.astype(jnp.float32),
-            scale=scale,
-            mask_fn=mask_fn,
-            tr=tr,
-            tc=tc,
+            qm, pm, nm, nv.astype(jnp.float32),
+            scale=scale, mask_fn=mask_fn, tr=tr, tc=tc,
         )[0]
-    pos = jnp.sum(q * p, axis=1).astype(jnp.float32) * scale
+    pos = (
+        jnp.sum(qm.astype(jnp.float32) * pm.astype(jnp.float32), axis=1) * scale
+    )
     lse = ce + pos
     return ce, lse
 
@@ -287,11 +297,10 @@ def _vjp_fwd(q, p, n, neg_valid, scale, mask_fn, tr, tc, interpret):
 
 def _vjp_bwd(scale, mask_fn, tr, tc, interpret, residuals, g):
     q, p, n, nv, lse = residuals
+    qm, pm, nm = (x.astype(_MATMUL_DTYPE) for x in (q, p, n))
     with _maybe_interpret(interpret):
         dq, dp, dn = _bwd(
-            q.astype(jnp.float32),
-            p.astype(jnp.float32),
-            n.astype(jnp.float32),
+            qm, pm, nm,
             nv.astype(jnp.float32),
             lse.reshape(1, -1),
             g.astype(jnp.float32).reshape(1, -1),
@@ -331,8 +340,8 @@ def fused_infonce_loss(
     *,
     scale: float = 1.0,
     mask_false_negatives: bool = True,
-    tile_rows: int = 256,
-    tile_cols: int = 512,
+    tile_rows: int = 512,
+    tile_cols: int = 2048,
     interpret: bool = False,
 ) -> jax.Array:
     """Scalar InfoNCE sum over valid rows — drop-in for
@@ -343,6 +352,9 @@ def fused_infonce_loss(
     """
     r, d = q.shape
     rn = n.shape[0]
+    # clamp tiles for small problems (single tile each way)
+    tile_rows = min(tile_rows, _round_up(r, 16))
+    tile_cols = min(tile_cols, _round_up(rn, 128))
     rp, rnp = _round_up(r, tile_rows), _round_up(rn, tile_cols)
     if rp != r:
         pad = rp - r

@@ -90,27 +90,75 @@ EXAMPLE_USER = UserQuery(
 # -- services ----------------------------------------------------------------
 
 
+class MicroBatcher:
+    """Dynamic request batching (parity: BentoML ``batchable=True`` APIs,
+    reference service.py:112-114): concurrent ``embed`` calls within a
+    small window coalesce into ONE encoder forward — the device sees large
+    batches even when clients send single queries."""
+
+    def __init__(self, fn, *, max_batch: int = 64, window_ms: float = 2.0) -> None:
+        self._fn = fn
+        self._max_batch = max_batch
+        self._window = window_ms / 1000.0
+        self._queue: list = []
+        self._flusher = None
+
+    async def submit(self, item):
+        import asyncio
+
+        loop = asyncio.get_running_loop()
+        fut = loop.create_future()
+        self._queue.append((item, fut))
+        if len(self._queue) >= self._max_batch:
+            self._flush()
+        elif self._flusher is None:
+            self._flusher = loop.call_later(self._window, self._flush)
+        return await fut
+
+    def _flush(self) -> None:
+        if self._flusher is not None:
+            self._flusher.cancel()
+            self._flusher = None
+        batch, self._queue = self._queue, []
+        if not batch:
+            return
+        items = [item for item, _ in batch]
+        try:
+            results = self._fn(items)
+            for (_, fut), res in zip(batch, results):
+                if not fut.done():
+                    fut.set_result(res)
+        except Exception as exc:  # noqa: BLE001 — propagate to every waiter
+            for _, fut in batch:
+                if not fut.done():
+                    fut.set_exception(exc)
+
+
 class ModelService:
     """Trained-encoder service (parity: ``Model``, service.py:96-134)."""
 
     def __init__(self, artifact_dir: str | pathlib.Path) -> None:
         self.model = RecommenderModel.load(pathlib.Path(artifact_dir) / TRANSFORMER_PATH)
         self.embed_dim = self.model.config.resolved_input_dim
+        self.batcher = MicroBatcher(lambda qs: self.embed(qs))
 
     def max_seq_length(self) -> int:
         return self.model.max_seq_length
 
     def embed(self, queries: list[Query]) -> list[Query]:
         """Batched: pad variable-length ``input_embeds`` to one (B, S, D)
-        tensor, single forward, write back ``embedding``."""
+        tensor, single forward, write back ``embedding``.  The batch dim is
+        padded to power-of-two buckets so jit compiles O(log max_batch)
+        programs instead of one per request count."""
         s = self.max_seq_length()
-        batch = np.zeros((len(queries), s, self.embed_dim), np.float32)
+        b = 1 << (len(queries) - 1).bit_length() if queries else 1
+        batch = np.zeros((b, s, self.embed_dim), np.float32)
         for i, query in enumerate(queries):
             if query.input_embeds is not None:
                 window = np.asarray(query.input_embeds, np.float32)[-s:]
                 batch[i, : len(window)] = window
         out = self.model(item_embeds=batch)
-        embeddings = np.asarray(out["sentence_embedding"])
+        embeddings = np.asarray(out["sentence_embedding"])[: len(queries)]
         for query, emb in zip(queries, embeddings):
             query.embedding = [float(x) for x in emb]
         return queries
@@ -254,7 +302,7 @@ class Service:
             return query
         if query.embedding is not None:
             return query
-        return self.model.embed([query])[0]
+        return await self.model.batcher.submit(query)
 
     async def recommend_with_item_id(
         self,

@@ -31,11 +31,25 @@ def save_checkpoint(
     *,
     epoch: int,
     metrics: dict[str, float] | None = None,
+    backend: str = "npz",
 ) -> None:
+    """``backend="npz"``: single-host flat leaves.  ``backend="orbax"``:
+    orbax StandardCheckpointer — handles sharded device arrays natively,
+    the right choice for multi-host meshes."""
     path = pathlib.Path(path)
     path.mkdir(parents=True, exist_ok=True)
-    leaves = jax.tree.leaves(state)
-    np.savez(path / "state.npz", **{f"leaf{i}": np.asarray(x) for i, x in enumerate(leaves)})
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save((path / "orbax").absolute(), dict(state._asdict()), force=True)
+        ckptr.wait_until_finished()
+    else:
+        leaves = jax.tree.leaves(state)
+        np.savez(
+            path / "state.npz",
+            **{f"leaf{i}": np.asarray(x) for i, x in enumerate(leaves)},
+        )
     meta = {"epoch": epoch, "step": int(state.step), "metrics": metrics or {}}
     (path / "meta.json").write_text(json.dumps(meta, indent=2))
 
@@ -43,11 +57,21 @@ def save_checkpoint(
 def load_checkpoint(
     path: str | pathlib.Path, template: TrainState
 ) -> tuple[TrainState, dict[str, Any]]:
+    """Restore into the template's tree structure; backend auto-detected."""
     path = pathlib.Path(path)
-    treedef = jax.tree.structure(template)
-    with np.load(path / "state.npz") as data:
-        leaves = [jax.numpy.asarray(data[f"leaf{i}"]) for i in range(len(data.files))]
-    state = jax.tree.unflatten(treedef, leaves)
+    if (path / "orbax").exists():
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore((path / "orbax").absolute(), dict(template._asdict()))
+        state = TrainState(**restored)
+    else:
+        treedef = jax.tree.structure(template)
+        with np.load(path / "state.npz") as data:
+            leaves = [
+                jax.numpy.asarray(data[f"leaf{i}"]) for i in range(len(data.files))
+            ]
+        state = jax.tree.unflatten(treedef, leaves)
     meta = json.loads((path / "meta.json").read_text())
     return state, meta
 
