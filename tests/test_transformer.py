@@ -144,3 +144,38 @@ def test_jit_compiles(params):
     x = jax.random.normal(jax.random.key(12), (2, 8, 32))
     out = fn(params, x)
     assert out.shape == (2, 32)
+
+
+def test_preprojected_table_equivalence():
+    """compute_embeds' pre-projected-table fast path must match projecting
+    each gathered row (linearity of the projection)."""
+    from transformer_recommenders_tpu.models.recommender import compute_embeds
+    from transformer_recommenders_tpu.models.transformer import _dense
+
+    cfg = CFG.model_copy(update={"input_dim": 24})
+    params = init_transformer_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    table = np.concatenate(
+        [np.zeros((1, 24), np.float32), rng.normal(size=(50, 24)).astype(np.float32)]
+    )
+    batch = {
+        k: jnp.asarray(rng.integers(1, 51, size=(4, 8)).astype(np.int32))
+        for k in ["history_item_idx", "pos_item_idx", "neg_item_idx"]
+    }
+    fast = compute_embeds(
+        params, cfg, jnp.asarray(table),
+        batch["history_item_idx"], batch["pos_item_idx"], batch["neg_item_idx"],
+    )
+    # slow path: force table_lookup so no pre-projection happens
+    slow = compute_embeds(
+        params, cfg, None,
+        batch["history_item_idx"], batch["pos_item_idx"], batch["neg_item_idx"],
+        table_lookup=lambda idx: jnp.take(jnp.asarray(table), idx, axis=0),
+    )
+    for key in ["query", "pos_embed", "neg_pool"]:
+        np.testing.assert_allclose(
+            np.asarray(fast[key]), np.asarray(slow[key]), rtol=2e-5, atol=2e-5
+        )
+    np.testing.assert_array_equal(
+        np.asarray(fast["row_valid"]), np.asarray(slow["row_valid"])
+    )

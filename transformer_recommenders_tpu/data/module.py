@@ -28,16 +28,64 @@ from transformer_recommenders_tpu.data.embeddings import embed_item_texts
 
 @dataclasses.dataclass
 class EvalArrays:
-    """Padded fixed-shape arrays for one eval split (U users)."""
+    """Eval-split arrays for U users.
+
+    ``history_window``/``n_targets`` are dense; full histories and target
+    sets are RAGGED (lists of int32 arrays) and padded per batch by
+    :meth:`batch` — global padding would blow up at ML-25M scale (162k
+    users x 30k-event histories).  Batch pad widths round up to powers of
+    two so jit compiles O(log Hmax) eval programs, not one per batch.
+    """
 
     user_ids: list[str]
-    history_full: np.ndarray  # (U, Hmax) int32, 0-padded; for exclusion masks
+    histories: list[np.ndarray]  # ragged full histories (exclusion masks)
     history_window: np.ndarray  # (U, S) int32; last window, for encoding
-    targets: np.ndarray  # (U, Tmax) int32 deduped target idx, 0-padded
+    target_lists: list[np.ndarray]  # ragged deduped target idx
     n_targets: np.ndarray  # (U,) int32 — number of DISTINCT target ids
 
     def __len__(self) -> int:
         return len(self.user_ids)
+
+    @property
+    def history_full(self) -> np.ndarray:
+        """Densely padded full histories (small splits / tests only)."""
+        h_max = max((len(h) for h in self.histories), default=1) or 1
+        out = np.zeros((len(self.user_ids), h_max), np.int32)
+        for i, h in enumerate(self.histories):
+            out[i, : len(h)] = h
+        return out
+
+    @property
+    def targets(self) -> np.ndarray:
+        t_max = max((len(t) for t in self.target_lists), default=1) or 1
+        out = np.zeros((len(self.user_ids), t_max), np.int32)
+        for i, t in enumerate(self.target_lists):
+            out[i, : len(t)] = t
+        return out
+
+    def batch(self, lo: int, hi: int, batch_size: int) -> tuple[np.ndarray, ...]:
+        """(history_window, history_full, targets, n_targets) for users
+        [lo, hi), zero-padded to ``batch_size`` rows and power-of-two
+        widths.  Padded users have n_targets == 0 (excluded downstream)."""
+        rows = range(lo, hi)
+        h_max = _next_pow2(max((len(self.histories[i]) for i in rows), default=1))
+        t_max = _next_pow2(max((len(self.target_lists[i]) for i in rows), default=1))
+        hw = np.zeros((batch_size, self.history_window.shape[1]), np.int32)
+        hf = np.zeros((batch_size, h_max), np.int32)
+        tg = np.zeros((batch_size, t_max), np.int32)
+        nt = np.zeros((batch_size,), np.int32)
+        for j, i in enumerate(rows):
+            hw[j] = self.history_window[i]
+            h = self.histories[i]
+            hf[j, : len(h)] = h
+            t = self.target_lists[i]
+            tg[j, : len(t)] = t
+            nt[j] = self.n_targets[i]
+        return hw, hf, tg, nt
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(int(n) - 1, 0).bit_length()
 
 
 class SeqDataModule:
@@ -157,20 +205,14 @@ class SeqDataModule:
             )
 
         u = len(user_ids)
-        h_max = max((len(h) for h in hists), default=1) or 1
-        t_max = max((len(t) for t in targets), default=1) or 1
-        history_full = np.zeros((u, h_max), np.int32)
         history_window = np.zeros((u, s), np.int32)
-        target_arr = np.zeros((u, t_max), np.int32)
-        for i, (h, t) in enumerate(zip(hists, targets)):
-            history_full[i, : len(h)] = h
+        for i, h in enumerate(hists):
             w = h[-s:]
             history_window[i, : len(w)] = w
-            target_arr[i, : len(t)] = t
         return EvalArrays(
             user_ids=user_ids,
-            history_full=history_full,
+            histories=hists,
             history_window=history_window,
-            targets=target_arr,
+            target_lists=targets,
             n_targets=np.asarray(n_targets, np.int32),
         )

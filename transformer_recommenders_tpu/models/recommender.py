@@ -34,6 +34,7 @@ def model_forward(
     item_embeds: jax.Array | None = None,
     dropout_rng: jax.Array | None = None,
     table_lookup=None,
+    inputs_projected: bool = False,
 ) -> dict[str, jax.Array]:
     """Forward pass from item indices or raw item embeddings.
 
@@ -53,7 +54,13 @@ def model_forward(
     else:
         msg = "either `item_idx` or `item_embeds` must be provided"
         raise ValueError(msg)
-    return transformer_encode(params, cfg, input_embeds, dropout_rng=dropout_rng)
+    return transformer_encode(
+        params,
+        cfg,
+        input_embeds,
+        dropout_rng=dropout_rng,
+        inputs_projected=inputs_projected,
+    )
 
 
 def compute_embeds(
@@ -89,15 +96,40 @@ def compute_embeds(
       ``row_valid`` (R,) bool, ``neg_valid`` (R,) bool,
       ``attention_mask`` (B, S) bool, ``positive_mask`` (B, S) bool.
     """
-    lookup = table_lookup or (lambda idx: jnp.take(item_table, idx, axis=0))
-    out = model_forward(
-        params,
-        cfg,
-        item_table,
-        history_item_idx,
-        dropout_rng=dropout_rng,
-        table_lookup=lookup,
-    )
+    # Pre-project the table ONCE when a learned projection exists: gathers
+    # then move 3x fewer bytes (hidden_size vs input_dim rows) and the
+    # projection runs over N catalog rows instead of 3*B*S gathered rows.
+    # Algebraically identical (the projection is linear); the pad row is
+    # re-zeroed so the any-nonzero attention-mask rule still holds.
+    projected = False
+    if table_lookup is None and "input_proj" in params and item_table is not None:
+        from transformer_recommenders_tpu.models.transformer import _dense
+
+        table_p = _dense(item_table, params["input_proj"], jnp.dtype(cfg.compute_dtype))
+        table_p = table_p.at[0].set(0.0)
+        lookup = lambda idx: jnp.take(table_p, idx, axis=0)  # noqa: E731
+        projected = True
+    else:
+        lookup = table_lookup or (lambda idx: jnp.take(item_table, idx, axis=0))
+
+    if projected:
+        out = model_forward(
+            params,
+            cfg,
+            None,
+            item_embeds=lookup(history_item_idx[:, -cfg.max_seq_length :]),
+            dropout_rng=dropout_rng,
+            inputs_projected=True,
+        )
+    else:
+        out = model_forward(
+            params,
+            cfg,
+            item_table,
+            history_item_idx,
+            dropout_rng=dropout_rng,
+            table_lookup=lookup,
+        )
     attention_mask = out["attention_mask"]  # (B, S)
     b, s = attention_mask.shape
 
@@ -114,7 +146,7 @@ def compute_embeds(
 
     pos_embed = lookup(pos_flat)
     neg_pool = lookup(neg_flat)
-    if "input_proj" in params:
+    if "input_proj" in params and not projected:
         # with a learned projection (input_dim != hidden_size, BASELINE
         # config #3) candidates must be scored in the SAME hidden space as
         # the queries — apply the shared projection to them too

@@ -172,6 +172,7 @@ def transformer_encode(
     attention_mask: jax.Array | None = None,
     *,
     dropout_rng: jax.Array | None = None,
+    inputs_projected: bool = False,
 ) -> dict[str, jax.Array]:
     """Encode a batch of embedding sequences.
 
@@ -209,7 +210,7 @@ def transformer_encode(
         rngs = [None] * (1 + 3 * n_layers)
 
     x = input_embeds
-    if "input_proj" in params:
+    if "input_proj" in params and not inputs_projected:
         x = _dense(x, params["input_proj"], dtype)
     x = x + params["pos_embed"][:s]
     x = _layer_norm(x, params["embed_ln"], cfg.layer_norm_eps)

@@ -77,19 +77,7 @@ class Evaluator:
         sums: dict[str, float] = {}
         count = 0.0
         for lo in range(0, u, b):
-            sl = slice(lo, min(lo + b, u))
-            hw, hf, tg, nt = (
-                arrays.history_window[sl],
-                arrays.history_full[sl],
-                arrays.targets[sl],
-                arrays.n_targets[sl],
-            )
-            pad = b - hw.shape[0]
-            if pad:  # zero-padded users have n_targets == 0 -> excluded
-                hw = np.pad(hw, ((0, pad), (0, 0)))
-                hf = np.pad(hf, ((0, pad), (0, 0)))
-                tg = np.pad(tg, ((0, pad), (0, 0)))
-                nt = np.pad(nt, (0, pad))
+            hw, hf, tg, nt = arrays.batch(lo, min(lo + b, u), b)
             metrics = self._eval_step(params, item_table, hw, hf, tg, nt)
             valid = np.asarray(metrics["valid"], np.float32)
             count += float(valid.sum())
@@ -114,19 +102,7 @@ class Evaluator:
         u = len(arrays)
         all_idx, all_scores = [], []
         for lo in range(0, u, b):
-            sl = slice(lo, min(lo + b, u))
-            hw, hf, tg, nt = (
-                arrays.history_window[sl],
-                arrays.history_full[sl],
-                arrays.targets[sl],
-                arrays.n_targets[sl],
-            )
-            pad = b - hw.shape[0]
-            if pad:
-                hw = np.pad(hw, ((0, pad), (0, 0)))
-                hf = np.pad(hf, ((0, pad), (0, 0)))
-                tg = np.pad(tg, ((0, pad), (0, 0)))
-                nt = np.pad(nt, (0, pad))
+            hw, hf, tg, nt = arrays.batch(lo, min(lo + b, u), b)
             _, top_idx, top_scores = self._eval_step(
                 params, item_table, hw, hf, tg, nt, return_recs=True
             )

@@ -397,8 +397,8 @@ def _slice_arrays(arrays, n: int):
     return dataclasses.replace(
         arrays,
         user_ids=arrays.user_ids[:n],
-        history_full=arrays.history_full[:n],
+        histories=arrays.histories[:n],
         history_window=arrays.history_window[:n],
-        targets=arrays.targets[:n],
+        target_lists=arrays.target_lists[:n],
         n_targets=arrays.n_targets[:n],
     )
