@@ -43,10 +43,13 @@ def bench_ours() -> float:
     import jax
     import jax.numpy as jnp
 
-    from transformer_recommenders_tpu.training.train_state import (
-        init_train_state,
-        make_train_step,
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from transformer_recommenders_tpu.training.scan_steps import (
+        make_scanned_train_steps,
     )
+    from transformer_recommenders_tpu.training.train_state import init_train_state
     from __graft_entry__ import _flagship_config
     from transformer_recommenders_tpu.models.transformer import init_transformer_params
 
@@ -63,7 +66,7 @@ def bench_ours() -> float:
         )
     )
     state = init_train_state(cfg, params)
-    step = make_train_step(cfg)
+    steps_fn = make_scanned_train_steps(cfg)
 
     def make_batch(seed: int):
         r = np.random.default_rng(seed)
@@ -79,21 +82,27 @@ def bench_ours() -> float:
             ),
         }
 
-    batches = [make_batch(i) for i in range(8)]
+    k_steps = 16
+    stacked = {
+        key: jnp.asarray(
+            np.stack([np.asarray(make_batch(i)[key]) for i in range(k_steps)])
+        )
+        for key in ["history_item_idx", "pos_item_idx", "neg_item_idx"]
+    }
     key = jax.random.key(0)
     t0 = time.time()
-    for i in range(WARMUP):
-        state, logs = step(state, table, batches[i % 8], key)
+    state, logs = steps_fn(state, table, stacked, key)
     jax.block_until_ready(state.params)
     log(f"compile+warmup: {time.time() - t0:.1f}s")
 
     t0 = time.time()
-    for i in range(STEPS):
-        state, logs = step(state, table, batches[i % 8], key)
+    reps = max(STEPS // k_steps, 2)
+    for _ in range(reps):
+        state, logs = steps_fn(state, table, stacked, key)
     jax.block_until_ready(state.params)
     dt = time.time() - t0
-    eps = B * STEPS / dt
-    log(f"ours: {STEPS} steps in {dt:.2f}s -> {eps:.1f} examples/s")
+    eps = B * k_steps * reps / dt
+    log(f"ours: {k_steps * reps} scanned steps in {dt:.2f}s -> {eps:.1f} examples/s")
     return eps
 
 

@@ -206,3 +206,32 @@ def test_sharded_train_step_multiple_steps(mesh2x4):
         losses.append(float(logs["loss/InfoNCELoss"]))
     assert losses[-1] < losses[0] * 0.8  # optimizing the same batch must descend
     assert int(state.step) == 30
+
+
+def test_sharded_train_step_with_projection(mesh2x4):
+    """Sharded pre-projected-shard path == single-device pre-projected path
+    when input_dim != hidden_size."""
+    cfg, params, table, batch = _make_setup(d=16)
+    cfg = cfg.model_copy(update={"input_dim": 24, "hidden_size": 16})
+    params = init_transformer_params(jax.random.key(0), cfg)
+    table = RNG.normal(size=(41, 24)).astype(np.float32)
+    table[0] = 0
+
+    ref_step = make_train_step(cfg)
+    state0 = init_train_state(cfg, params)
+    rng = jax.random.key(7)
+    ref_state, ref_logs = ref_step(state0, jnp.asarray(table), batch, rng)
+
+    placed_table = pemb.place_table(table, mesh2x4)
+    sh_state = place_state(init_train_state(cfg, params), mesh2x4)
+    sh_batch = pmesh.shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh2x4)
+    sh_step = make_sharded_train_step(cfg, mesh2x4)
+    sh_state, sh_logs = sh_step(sh_state, placed_table, sh_batch, rng)
+
+    np.testing.assert_allclose(
+        float(sh_logs["loss/InfoNCELoss"]),
+        float(ref_logs["loss/InfoNCELoss"]),
+        rtol=1e-4,
+    )
+    for a, b_ in zip(jax.tree.leaves(ref_state.params), jax.tree.leaves(sh_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)

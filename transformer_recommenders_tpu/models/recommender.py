@@ -46,7 +46,9 @@ def model_forward(
     layer passes the model-axis collective lookup for row-sharded tables
     (``parallel/embedding.py``).
     """
-    lookup = table_lookup or (lambda idx: jnp.take(item_table, idx, axis=0))
+    lookup = table_lookup or (
+        lambda idx: fast_table_lookup(item_table, idx, compute_dtype=cfg.compute_dtype)
+    )
     if item_embeds is not None:
         input_embeds = item_embeds[:, -cfg.max_seq_length :, :]
     elif item_idx is not None:
@@ -73,6 +75,7 @@ def compute_embeds(
     *,
     dropout_rng: jax.Array | None = None,
     table_lookup=None,
+    lookup_projected: bool = False,
 ) -> dict[str, jax.Array]:
     """Produce per-position training queries and the shared candidate pool.
 
@@ -101,37 +104,64 @@ def compute_embeds(
     # projection runs over N catalog rows instead of 3*B*S gathered rows.
     # Algebraically identical (the projection is linear); the pad row is
     # re-zeroed so the any-nonzero attention-mask rule still holds.
-    projected = False
-    if table_lookup is None and "input_proj" in params and item_table is not None:
-        from transformer_recommenders_tpu.models.transformer import _dense
+    s_max = cfg.max_seq_length
+    hist_t = history_item_idx[:, -s_max:]
+    b, s = hist_t.shape
+    pos_flat = pos_item_idx[:, -s:].reshape(b * s)
+    neg_flat = neg_item_idx[:, -s:].reshape(b * s)
 
-        table_p = _dense(item_table, params["input_proj"], jnp.dtype(cfg.compute_dtype))
-        table_p = table_p.at[0].set(0.0)
-        lookup = lambda idx: jnp.take(table_p, idx, axis=0)  # noqa: E731
-        projected = True
-    else:
-        lookup = table_lookup or (lambda idx: jnp.take(item_table, idx, axis=0))
+    projected = lookup_projected
+    if table_lookup is None and item_table is not None:
+        table_use = item_table
+        if "input_proj" in params:
+            from transformer_recommenders_tpu.models.transformer import _dense
 
-    if projected:
+            table_use = _dense(
+                item_table, params["input_proj"], jnp.dtype(cfg.compute_dtype)
+            )
+            table_use = table_use.at[0].set(0.0)
+            projected = True
+        # ONE fused lookup for history + positives + negatives (3*B*S rows)
+        all_idx = jnp.concatenate(
+            [hist_t.reshape(-1), pos_flat, neg_flat]
+        )
+        rows = fast_table_lookup(table_use, all_idx, compute_dtype=cfg.compute_dtype)
+        r = b * s
+        hist_embeds = rows[:r].reshape(b, s, -1)
+        pos_embed = rows[r : 2 * r]
+        neg_pool = rows[2 * r :]
         out = model_forward(
             params,
             cfg,
             None,
-            item_embeds=lookup(history_item_idx[:, -cfg.max_seq_length :]),
+            item_embeds=hist_embeds,
             dropout_rng=dropout_rng,
-            inputs_projected=True,
+            inputs_projected=projected,
         )
     else:
+        lookup = table_lookup
         out = model_forward(
             params,
             cfg,
             item_table,
-            history_item_idx,
+            hist_t,
             dropout_rng=dropout_rng,
             table_lookup=lookup,
+            inputs_projected=projected,
         )
+        pos_embed = lookup(pos_flat)
+        neg_pool = lookup(neg_flat)
+        if "input_proj" in params and not projected:
+            # with a learned projection (input_dim != hidden_size, BASELINE
+            # config #3) candidates must be scored in the SAME hidden space
+            # as the queries — apply the shared projection to them too
+            from transformer_recommenders_tpu.models.transformer import _dense
+
+            dtype = jnp.dtype(cfg.compute_dtype)
+            pos_embed = _dense(pos_embed, params["input_proj"], dtype)
+            neg_pool = _dense(neg_pool, params["input_proj"], dtype)
+
     attention_mask = out["attention_mask"]  # (B, S)
-    b, s = attention_mask.shape
 
     query = out["token_embeddings"].reshape(b * s, -1)
     if cfg.is_normalized:
@@ -139,22 +169,8 @@ def compute_embeds(
             jnp.linalg.norm(query, axis=-1, keepdims=True), min=1e-12
         )
 
-    pos_flat = pos_item_idx[:, -s:].reshape(b * s)
-    neg_flat = neg_item_idx[:, -s:].reshape(b * s)
     neg_valid = attention_mask.reshape(b * s)
     positive_mask = (pos_flat != 0) & neg_valid
-
-    pos_embed = lookup(pos_flat)
-    neg_pool = lookup(neg_flat)
-    if "input_proj" in params and not projected:
-        # with a learned projection (input_dim != hidden_size, BASELINE
-        # config #3) candidates must be scored in the SAME hidden space as
-        # the queries — apply the shared projection to them too
-        from transformer_recommenders_tpu.models.transformer import _dense
-
-        dtype = jnp.dtype(cfg.compute_dtype)
-        pos_embed = _dense(pos_embed, params["input_proj"], dtype)
-        neg_pool = _dense(neg_pool, params["input_proj"], dtype)
 
     return {
         "query": query,
@@ -165,6 +181,37 @@ def compute_embeds(
         "attention_mask": attention_mask,
         "positive_mask": positive_mask.reshape(b, s),
     }
+
+
+# catalogs up to this size use one-hot MXU-matmul lookups on TPU: XLA's row
+# gather costs ~O(rows) dispatches (~0.5 ms per 8k-row gather on v5e) while
+# the equivalent one-hot matmul is one MXU pass.  Larger catalogs fall back
+# to jnp.take (the one-hot operand would dominate HBM traffic).
+ONEHOT_LOOKUP_MAX_ITEMS = 16384
+
+
+def fast_table_lookup(
+    table: jax.Array, idx: jax.Array, *, compute_dtype: jnp.dtype
+) -> jax.Array:
+    """Embedding lookup tuned for TPU.
+
+    In bf16 compute mode with a moderate catalog the gather becomes a
+    one-hot (rows, N) bf16 matmul against the table — exact up to the bf16
+    rounding the downstream matmuls apply anyway (one-hot rows select a
+    single table row; f32 accumulation copies it exactly).  Otherwise a
+    plain ``jnp.take`` (exact f32).
+    """
+    n = table.shape[0]
+    if (
+        jnp.dtype(compute_dtype) == jnp.bfloat16
+        and n <= ONEHOT_LOOKUP_MAX_ITEMS
+        and jax.default_backend() != "cpu"
+    ):
+        from transformer_recommenders_tpu.ops.gather_matmul import gather_rows
+
+        rows = gather_rows(table, idx.reshape(-1))
+        return rows.reshape(*idx.shape, table.shape[1])
+    return jnp.take(table, idx, axis=0)
 
 
 def build_item_table(embeddings: np.ndarray | jax.Array) -> jax.Array:

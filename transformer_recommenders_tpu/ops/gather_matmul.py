@@ -1,0 +1,160 @@
+"""Pallas embedding-lookup kernel: gather as tiled one-hot MXU matmul.
+
+XLA's row gather on TPU costs O(rows) serial work (~0.13 us/row on v5e —
+three 8k-row lookups burn ~3 ms/step, dominating the train step), and a
+materialized one-hot matmul pays (R, N) HBM traffic.  This kernel builds
+the one-hot tiles ON-CHIP (iota == idx compare in VMEM, never touching
+HBM) and streams table tiles through the MXU:
+
+    out[r, :] = sum_j onehot(idx[r] - j*Tn) @ table[j*Tn:(j+1)*Tn, :]
+
+FLOPs are R*N*D*2 — for the catalogs this framework targets on the train
+path (N <= ~16k after projection) that is ~0.1 ms, 30x faster than the
+gather.  Larger catalogs should keep ``jnp.take`` (FLOPs grow with N).
+
+The custom VJP computes d(table) with the transposed kernel (scatter-add as
+one-hot^T @ grad), so lookups of DIFFERENTIABLE tables (e.g. the projected
+item table, whose gradient flows into the input projection) work under
+``jax.grad``.  Values are exact up to bf16 rounding of the table (the
+one-hot rows select single entries; f32 accumulation copies them exactly),
+matching the bf16 precision every downstream matmul applies anyway.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _fwd_kernel(idx_ref, table_ref, out_ref, acc_scr, *, num_table_tiles: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    tn = table_ref.shape[0]
+    tr = idx_ref.shape[1]
+    idx = idx_ref[0, :]  # (Tr,)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tr, tn), 1) + j * tn
+    onehot = (col == idx[:, None]).astype(jnp.bfloat16)
+    acc_scr[:, :] += jnp.dot(
+        onehot, table_ref[:].astype(jnp.bfloat16), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == num_table_tiles - 1)
+    def _finish():
+        out_ref[:, :] = acc_scr[:, :]
+
+
+def _bwd_kernel(idx_ref, g_ref, dtable_ref, acc_scr, *, num_row_tiles: int):
+    i = pl.program_id(1)  # row tiles innermost: dtable block stays resident
+
+    @pl.when(i == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    tn = dtable_ref.shape[0]
+    tr = g_ref.shape[0]
+    j = pl.program_id(0)
+    idx = idx_ref[0, :]
+    col = jax.lax.broadcasted_iota(jnp.int32, (tr, tn), 1) + j * tn
+    onehot = (col == idx[:, None]).astype(jnp.bfloat16)
+    acc_scr[:, :] += jnp.dot(
+        onehot.T, g_ref[:].astype(jnp.bfloat16), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(i == num_row_tiles - 1)
+    def _finish():
+        dtable_ref[:, :] = acc_scr[:, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def gather_rows(
+    table: jax.Array,
+    idx: jax.Array,
+    tile_rows: int = 512,
+    tile_table: int = 2048,
+    interpret: bool = False,
+) -> jax.Array:
+    """``table[idx]`` via the one-hot MXU kernel.
+
+    Args:
+        table: (N, D) float array.
+        idx: (R,) int32; out-of-range rows return zeros.
+        tile_rows / tile_table: grid tiles (auto-clamped).
+
+    Returns:
+        (R, D) float32 rows (bf16-rounded table values).
+    """
+    return _fwd(table, idx, tile_rows, tile_table, interpret)
+
+
+def _pad_args(table, idx, tile_rows, tile_table):
+    n, d = table.shape
+    r = idx.shape[0]
+    tr = min(tile_rows, _round_up(r, 16))
+    tn = min(tile_table, _round_up(n, 128))
+    rp, np_ = _round_up(r, tr), _round_up(n, tn)
+    if rp != r:
+        idx = jnp.pad(idx, (0, rp - r), constant_values=-1)
+    if np_ != n:
+        table = jnp.pad(table, ((0, np_ - n), (0, 0)))
+    return table, idx, tr, tn, r, n
+
+
+def _fwd(table, idx, tile_rows, tile_table, interpret):
+    table_p, idx_p, tr, tn, r, n = _pad_args(table, idx, tile_rows, tile_table)
+    rp, np_ = idx_p.shape[0], table_p.shape[0]
+    grid = (rp // tr, np_ // tn)
+    d = table_p.shape[1]
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, num_table_tiles=grid[1]),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tr), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tr, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rp, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tr, d), jnp.float32)],
+        interpret=interpret,
+    )(idx_p.reshape(1, -1).astype(jnp.int32), table_p)
+    return out[:r]
+
+
+def _vjp_fwd(table, idx, tile_rows, tile_table, interpret):
+    return _fwd(table, idx, tile_rows, tile_table, interpret), (table, idx)
+
+
+def _vjp_bwd(tile_rows, tile_table, interpret, residuals, g):
+    table, idx = residuals
+    table_p, idx_p, tr, tn, r, n = _pad_args(table, idx, tile_rows, tile_table)
+    rp, np_ = idx_p.shape[0], table_p.shape[0]
+    d = table_p.shape[1]
+    g_p = jnp.pad(g.astype(jnp.float32), ((0, rp - r), (0, 0)))
+    grid = (np_ // tn, rp // tr)
+    dtable = pl.pallas_call(
+        functools.partial(_bwd_kernel, num_row_tiles=grid[1]),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tr), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, d), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tn, d), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tn, d), jnp.float32)],
+        interpret=interpret,
+    )(idx_p.reshape(1, -1).astype(jnp.int32), g_p)
+    return dtable[:n].astype(table.dtype), None
+
+
+gather_rows.defvjp(_vjp_fwd, _vjp_bwd)

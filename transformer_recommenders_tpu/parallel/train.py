@@ -68,6 +68,20 @@ def make_sharded_train_step(config: TrainConfig, mesh: Mesh):
         dp_rank = jax.lax.axis_index(DATA_AXIS)
         rng = jax.random.fold_in(rng, dp_rank)
 
+        # pre-project the LOCAL table shard when a projection exists (same
+        # optimization as the single-device path: gather in hidden space);
+        # the global pad row lives on shard 0 and is re-zeroed there
+        projected = "input_proj" in params
+        if projected:
+            from transformer_recommenders_tpu.models.transformer import _dense
+
+            table_shard = _dense(
+                table_shard, params["input_proj"], jnp.dtype(config.compute_dtype)
+            )
+            shard_id = jax.lax.axis_index(MODEL_AXIS)
+            first_row = jnp.where(shard_id == 0, 0.0, 1.0)
+            table_shard = table_shard.at[0].multiply(first_row)
+
         lookup = lambda idx: _sharded_lookup_local(table_shard, idx)  # noqa: E731
         embeds = compute_embeds(
             params,
@@ -78,6 +92,7 @@ def make_sharded_train_step(config: TrainConfig, mesh: Mesh):
             batch["neg_item_idx"],
             dropout_rng=rng,
             table_lookup=lookup,
+            lookup_projected=projected,
         )
         # global shared negative pool (parity with single-chip semantics)
         neg_pool = jax.lax.all_gather(embeds["neg_pool"], DATA_AXIS, tiled=True)

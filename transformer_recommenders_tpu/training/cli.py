@@ -81,6 +81,9 @@ def main(argv: list[str] | None = None) -> dict[str, float]:
     parser.add_argument("--ckpt_path", default=None, help="checkpoint dir to resume from")
     parser.add_argument("--log_dir", default="runs/default")
     parser.add_argument("--save_path", default=None, help="artifact dir to export after fit")
+    parser.add_argument(
+        "--predict_output", default=None, help="parquet path for predict results"
+    )
     parser.add_argument("--print_config", action="store_true")
     args, overrides = parser.parse_known_args(argv)
 
@@ -95,6 +98,16 @@ def main(argv: list[str] | None = None) -> dict[str, float]:
         result = trainer.test()
     else:
         recs = trainer.predict()
+        if args.predict_output:
+            import pandas as pd
+
+            pd.DataFrame(
+                {
+                    "user_id": recs["user_ids"],
+                    "item_ids": [list(row) for row in recs["item_ids"]],
+                    "scores": [list(map(float, row)) for row in recs["scores"]],
+                }
+            ).to_parquet(args.predict_output, index=False)
         result = {"num_users": float(len(recs["user_ids"]))}
     print(yaml.safe_dump({k: float(v) for k, v in result.items()}, sort_keys=False))
     return result
