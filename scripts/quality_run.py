@@ -1,0 +1,89 @@
+"""ML-1M-scale quality run on synthetic data (no egress -> no real ML-1M).
+
+Trains the reference-equivalent config (1-layer d=384 encoder over frozen
+384-d hash embeddings, InfoNCE) on a synthetic dataset with ML-1M's shape
+(6040 users / 3700 items / 1M events) and records the retrieval-metric
+trajectory — the framework-side half of the quality-parity protocol
+(BASELINE.md: reference-vs-TPU parity needs the real dataset, which
+requires egress; this demonstrates end-to-end learning at the same scale).
+
+Usage: python scripts/quality_run.py [--epochs 8] [--tpu]
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--epochs", type=int, default=8)
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--data_dir", default="/tmp/xrt_quality_data")
+    parser.add_argument("--out", default="QUALITY_RUN.json")
+    args = parser.parse_args()
+
+    if args.cpu:
+        import os
+
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from transformer_recommenders_tpu.configs import SeqDataModuleConfig, TrainConfig
+    from transformer_recommenders_tpu.data.module import SeqDataModule
+    from transformer_recommenders_tpu.training.trainer import Trainer
+
+    data_config = SeqDataModuleConfig(
+        data_dir=args.data_dir,
+        dataset="synthetic",
+        embedder="hash",
+        embedding_dim=384,
+        max_seq_length=32,
+        batch_size=256,
+        synthetic_num_users=6040,
+        synthetic_num_items=3706,
+        synthetic_num_events=1_000_000,
+    )
+    config = TrainConfig(
+        hidden_size=384,
+        num_hidden_layers=1,
+        num_attention_heads=12,
+        intermediate_size=48,
+        max_seq_length=32,
+        train_loss="InfoNCELoss",
+        learning_rate=1e-3,
+        max_epochs=args.epochs,
+        early_stopping_patience=3,
+        eval_batch_size=256,
+        top_k=20,
+        log_every_n_steps=50,
+        ckpt_dir="/tmp/xrt_quality_ckpt",
+    )
+    t0 = time.time()
+    trainer = Trainer(config, SeqDataModule(data_config), log_dir="/tmp/xrt_quality_logs")
+    result = trainer.fit()
+    test = trainer.test()
+    payload = {
+        "config": "reference-equivalent (1L d=384 ffn=48 seq=32, InfoNCE) on synthetic ML-1M shape",
+        "epochs": args.epochs,
+        "wall_s": round(time.time() - t0, 1),
+        "val": {k: round(v, 4) for k, v in result.items()},
+        "test": {k: round(v, 4) for k, v in test.items()},
+    }
+    pathlib.Path(args.out).write_text(json.dumps(payload, indent=2))
+    print(json.dumps(payload, indent=2))
+
+
+if __name__ == "__main__":
+    main()

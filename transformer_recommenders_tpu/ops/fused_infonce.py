@@ -340,8 +340,8 @@ def fused_infonce_loss(
     *,
     scale: float = 1.0,
     mask_false_negatives: bool = True,
-    tile_rows: int = 512,
-    tile_cols: int = 2048,
+    tile_rows: int = 256,
+    tile_cols: int = 8192,
     interpret: bool = False,
 ) -> jax.Array:
     """Scalar InfoNCE sum over valid rows — drop-in for
