@@ -68,6 +68,8 @@ def main() -> None:
         eval_batch_size=256,
         top_k=20,
         log_every_n_steps=50,
+        steps_per_dispatch=8,
+        checkpoint_every_epoch=False,
         ckpt_dir="/tmp/xrt_quality_ckpt",
     )
     t0 = time.time()

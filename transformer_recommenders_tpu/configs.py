@@ -174,6 +174,11 @@ class TrainConfig(LossConfig, ModelConfig):
     # (view with tensorboard/xprof); SURVEY.md §5.1
     profile_dir: str | None = None
     steps_per_dispatch: int = 1  # >1: lax.scan-ed multi-step dispatch
+    # True: write best/last checkpoints to disk every epoch (crash-safe).
+    # False: keep the best state as a device reference and write to disk
+    # ONCE at fit end — device->host transfers are expensive on tunneled
+    # chips (measured 0.3 MB/s download on axon)
+    checkpoint_every_epoch: bool = True
 
     items_config: IndexConfig = IndexConfig(
         table_name=ITEMS_TABLE_NAME,

@@ -44,6 +44,19 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _default_tiles(d: int, rn: int) -> tuple[int, int]:
+    """VMEM-budgeted tiles.  Fewer/fatter column tiles win (measured on
+    v5e: single column pass beat 4x2048 by 25%), bounded by the worst
+    kernel's VMEM footprint — the dNeg backward holds the (tc, d) f32
+    accumulator + (tr, tc) f32 logits + (tc, d) bf16 pool tile at once."""
+    tr = 256
+    budget = 14_500_000
+    per_col = 4 * tr + 6 * d
+    tc = budget // per_col
+    tc = max(512, 1 << (tc.bit_length() - 1))  # pow2 floor
+    return tr, min(tc, max(_round_up(rn, 128), 128))
+
+
 # ---------------------------------------------------------------------------
 # forward: per-row CE with online logsumexp
 # ---------------------------------------------------------------------------
@@ -340,8 +353,8 @@ def fused_infonce_loss(
     *,
     scale: float = 1.0,
     mask_false_negatives: bool = True,
-    tile_rows: int = 256,
-    tile_cols: int = 8192,
+    tile_rows: int | None = None,
+    tile_cols: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Scalar InfoNCE sum over valid rows — drop-in for
@@ -352,6 +365,8 @@ def fused_infonce_loss(
     """
     r, d = q.shape
     rn = n.shape[0]
+    if tile_rows is None or tile_cols is None:
+        tile_rows, tile_cols = _default_tiles(d, rn)
     # clamp tiles for small problems (single tile each way)
     tile_rows = min(tile_rows, _round_up(r, 16))
     tile_cols = min(tile_cols, _round_up(rn, 128))

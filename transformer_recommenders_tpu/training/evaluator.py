@@ -79,6 +79,7 @@ class Evaluator:
         for lo in range(0, u, b):
             hw, hf, tg, nt = arrays.batch(lo, min(lo + b, u), b)
             metrics = self._eval_step(params, item_table, hw, hf, tg, nt)
+            metrics = jax.device_get(metrics)  # ONE host transfer per batch
             valid = np.asarray(metrics["valid"], np.float32)
             count += float(valid.sum())
             for name, values in metrics.items():

@@ -54,12 +54,16 @@ def init_train_state(config: TrainConfig, params: Any) -> TrainState:
     return TrainState(params=params, opt_state=opt.init(params), step=jnp.zeros((), jnp.int32))
 
 
-def make_train_step(config: TrainConfig):
+def make_train_step(config: TrainConfig, *, full_logs: bool = True):
     """Build the jitted train step.
 
     Signature: ``step(state, item_table, batch, rng) -> (state, logs)`` where
     ``batch`` holds int32 (B, S) arrays ``history_item_idx`` /
     ``pos_item_idx`` / ``neg_item_idx``.
+
+    ``full_logs=False`` builds the hot-path variant: only the training
+    objective (fused kernel when enabled) — none of the 7-loss/statistics
+    logging computation.  The trainer uses it on non-logging steps.
     """
     opt = make_optimizer(config)
     loss_names = tuple(loss_lib.LOSS_FNS)
@@ -77,6 +81,32 @@ def make_train_step(config: TrainConfig):
             batch["neg_item_idx"],
             dropout_rng=rng,
         )
+        if not full_logs:
+            if use_fused and config.train_loss == "InfoNCELoss":
+                from transformer_recommenders_tpu.ops.fused_infonce import (
+                    fused_infonce_loss,
+                )
+
+                objective = fused_infonce_loss(
+                    embeds["query"],
+                    embeds["pos_embed"],
+                    embeds["neg_pool"],
+                    embeds["row_valid"],
+                    embeds["neg_valid"],
+                    scale=config.scale,
+                    mask_false_negatives=config.mask_false_negatives,
+                )
+            else:
+                objective = loss_lib.compute_losses(
+                    loss_cfg,
+                    embeds["query"],
+                    embeds["pos_embed"],
+                    embeds["neg_pool"],
+                    embeds["row_valid"],
+                    embeds["neg_valid"],
+                    loss_names=(config.train_loss,),
+                )[config.train_loss]
+            return objective, {f"loss/{config.train_loss}": objective}
         all_losses = loss_lib.compute_losses(
             loss_cfg,
             embeds["query"],

@@ -51,6 +51,8 @@ class Trainer:
         self.mesh = None
         self._placed_table = None
         self._train_step = None
+        self._fast_step = None
+        self._host_step: int | None = None
         self._evaluator: Evaluator | None = None
 
     # -- setup ---------------------------------------------------------------
@@ -119,6 +121,7 @@ class Trainer:
         self.configure()
         self.state, meta = ckpt_lib.load_checkpoint(ckpt_path, self.state)
         self.model.params = self.state.params
+        self._host_step = meta.get("step", int(self.state.step))
         return meta
 
     # -- fit -----------------------------------------------------------------
@@ -148,6 +151,8 @@ class Trainer:
         t_start = time.time()
         examples = 0
         stop = False
+        epoch = 0
+        best_device_state = None
 
         profiling = False
         if cfg.profile_dir:
@@ -177,60 +182,98 @@ class Trainer:
                 if improved or not np.isfinite(monitor_best):
                     monitor_best = score
                     patience_left = cfg.early_stopping_patience
-                    ckpt_lib.save_checkpoint(
-                        best_ckpt, self.state, epoch=epoch, metrics=last_val
-                    )
+                    if cfg.checkpoint_every_epoch:
+                        ckpt_lib.save_checkpoint(
+                            best_ckpt, self.state, epoch=epoch, metrics=last_val
+                        )
+                    else:  # device reference only: zero host transfer
+                        best_device_state = (self.state, epoch, dict(last_val))
                 else:
                     patience_left -= 1
                     if patience_left <= 0:
                         stop = True
-                ckpt_lib.save_checkpoint(
-                    pathlib.Path(cfg.ckpt_dir) / "last",
-                    self.state,
-                    epoch=epoch,
-                    metrics=last_val,
-                )
+                if cfg.checkpoint_every_epoch:
+                    ckpt_lib.save_checkpoint(
+                        pathlib.Path(cfg.ckpt_dir) / "last",
+                        self.state,
+                        epoch=epoch,
+                        metrics=last_val,
+                    )
                 if stop:
                     break
         finally:
             if profiling:
                 jax.profiler.stop_trace()
 
+        if not cfg.checkpoint_every_epoch:
+            ckpt_lib.save_checkpoint(
+                pathlib.Path(cfg.ckpt_dir) / "last",
+                self.state,
+                epoch=epoch,
+                metrics=last_val,
+            )
+            if best_device_state is not None:
+                state, best_epoch, best_val = best_device_state
+                ckpt_lib.save_checkpoint(
+                    best_ckpt, state, epoch=best_epoch, metrics=best_val
+                )
+                self.state = state
+
         # restore best weights (parity: Lightning ckpt_path="best")
-        if (best_ckpt / "state.npz").exists():
+        if cfg.checkpoint_every_epoch and (best_ckpt / "state.npz").exists():
             self.state, _ = ckpt_lib.load_checkpoint(best_ckpt, self.state)
-            self.model.params = self.state.params
+        self.model.params = self.state.params
         return {**last_val, "train/examples_per_s": examples / max(time.time() - t_start, 1e-9)}
 
     def _run_epoch(
         self, epoch: int, root_key, t_start: float, examples: int
     ) -> tuple[bool, int]:
-        """One epoch of single-step dispatches (sharded or single-device)."""
-        cfg = self.config
-        for i, batch in enumerate(self.datamodule.train_batches(epoch)):
-            if 0 <= cfg.limit_train_batches <= i:
-                break
-            step_key = jax.random.fold_in(root_key, int(self.state.step))
-            if self.mesh is not None:
-                from transformer_recommenders_tpu.parallel.mesh import shard_batch
+        """One epoch of single-step dispatches (sharded or single-device).
 
-                placed = shard_batch(batch, self.mesh)
+        The step counter is tracked HOST-SIDE: ``int(state.step)`` per
+        iteration would force a device sync every step (a full network
+        round-trip on tunneled TPUs — measured 200+ ms/step).  Non-logging
+        steps run the fast objective-only program; the full 7-loss/
+        statistics program runs only on logging steps (the reference logs
+        everything every step, ``xfmr_rec/trainer.py:288-291``; at TPU
+        rates that logging costs more than the training itself).
+        """
+        cfg = self.config
+        if self._host_step is None:
+            self._host_step = int(self.state.step)
+        if self._fast_step is None and self.mesh is None:
+            self._fast_step = make_train_step(cfg, full_logs=False)
+
+        batches = _limit(self.datamodule.train_batches(epoch), cfg.limit_train_batches)
+        if self.mesh is not None:
+            from transformer_recommenders_tpu.parallel.mesh import shard_batch
+
+            batches = _prefetch(batches, lambda b: shard_batch(b, self.mesh))
+        else:
+            batches = _prefetch(
+                batches, lambda b: {k: jax.device_put(v) for k, v in b.items()}
+            )
+        for batch in batches:
+            step_key = jax.random.fold_in(root_key, self._host_step)
+            will_log = (self._host_step + 1) % cfg.log_every_n_steps == 0
+            if self.mesh is not None:
                 self.state, logs = self._train_step(
-                    self.state, self._placed_table, placed, step_key
+                    self.state, self._placed_table, batch, step_key
                 )
             else:
-                self.state, logs = self._train_step(
+                step_fn = self._train_step if will_log else self._fast_step
+                self.state, logs = step_fn(
                     self.state, self.model.item_table, batch, step_key
                 )
             examples += batch["history_item_idx"].shape[0]
-            step = int(self.state.step)
-            if step % cfg.log_every_n_steps == 0:
-                logs = {k: float(v) for k, v in logs.items()}
+            self._host_step += 1
+            if will_log:
+                logs = {k: float(v) for k, v in jax.device_get(logs).items()}
                 logs["train/examples_per_s"] = examples / max(
                     time.time() - t_start, 1e-9
                 )
-                self.logger.log(logs, step=step)
-            if 0 <= cfg.max_steps <= step:
+                self.logger.log(logs, step=self._host_step)
+            if 0 <= cfg.max_steps <= self._host_step:
                 return True, examples
             if time.time() - t_start > cfg.max_time_seconds:
                 return True, examples
@@ -248,6 +291,8 @@ class Trainer:
         cfg = self.config
         if getattr(self, "_scan_step", None) is None:
             self._scan_step = make_scanned_train_steps(cfg)
+        if self._host_step is None:
+            self._host_step = int(self.state.step)
         k = cfg.steps_per_dispatch
         window: list[dict] = []
 
@@ -258,13 +303,13 @@ class Trainer:
                 self.state, self.model.item_table, stacked, root_key
             )
             examples += sum(b["history_item_idx"].shape[0] for b in window)
-            step = int(self.state.step)
-            means = {key: float(np.mean(np.asarray(v))) for key, v in logs.items()}
-            means["train/examples_per_s"] = examples / max(
-                time.time() - t_start, 1e-9
-            )
-            if step // k % max(cfg.log_every_n_steps // k, 1) == 0:
-                self.logger.log(means, step=step)
+            self._host_step += len(window)
+            if self._host_step // k % max(cfg.log_every_n_steps // k, 1) == 0:
+                means = {key: float(np.mean(np.asarray(v))) for key, v in logs.items()}
+                means["train/examples_per_s"] = examples / max(
+                    time.time() - t_start, 1e-9
+                )
+                self.logger.log(means, step=self._host_step)
 
         for i, batch in enumerate(self.datamodule.train_batches(epoch)):
             if 0 <= cfg.limit_train_batches <= i:
@@ -273,7 +318,7 @@ class Trainer:
             if len(window) == k:
                 flush(window)
                 window = []
-                if 0 <= cfg.max_steps <= int(self.state.step):
+                if 0 <= cfg.max_steps <= self._host_step:
                     return True, examples
                 if time.time() - t_start > cfg.max_time_seconds:
                     return True, examples
@@ -286,11 +331,12 @@ class Trainer:
 
                 self._single_step = make_train_step(cfg)
             for batch in window:
-                step_key = jax.random.fold_in(root_key, int(self.state.step))
+                step_key = jax.random.fold_in(root_key, self._host_step)
                 self.state, _ = self._single_step(
                     self.state, self.model.item_table, batch, step_key
                 )
                 examples += batch["history_item_idx"].shape[0]
+                self._host_step += 1
         return False, examples
 
     # -- eval ----------------------------------------------------------------
@@ -389,6 +435,34 @@ class Trainer:
                 indent=2,
             )
         )
+
+
+def _limit(iterator, limit: int):
+    for i, item in enumerate(iterator):
+        if 0 <= limit <= i:
+            return
+        yield item
+
+
+def _prefetch(iterator, put, depth: int = 3):
+    """Async host->device staging: keep ``depth`` batches in flight so
+    transfer latency (severe on tunneled TPUs) overlaps compute."""
+    import collections
+
+    queue = collections.deque()
+    it = iter(iterator)
+    try:
+        for _ in range(depth):
+            queue.append(put(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        batch = queue.popleft()
+        try:
+            queue.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield batch
 
 
 def _slice_arrays(arrays, n: int):
