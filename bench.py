@@ -96,7 +96,7 @@ def bench_ours() -> float:
     log(f"compile+warmup: {time.time() - t0:.1f}s")
 
     t0 = time.time()
-    reps = max(STEPS // k_steps, 2)
+    reps = 20  # 320 steps: long window for a stable sustained rate
     for _ in range(reps):
         state, logs = steps_fn(state, table, stacked, key)
     jax.block_until_ready(state.params)

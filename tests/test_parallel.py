@@ -235,3 +235,41 @@ def test_sharded_train_step_with_projection(mesh2x4):
     )
     for a, b_ in zip(jax.tree.leaves(ref_state.params), jax.tree.leaves(sh_state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_eval_matches_single_device(mesh2x4):
+    """ShardedEvaluator (collective lookup + column-sharded top-k) produces
+    the same aggregate metrics as the single-device Evaluator."""
+    from transformer_recommenders_tpu.data.module import EvalArrays
+    from transformer_recommenders_tpu.training.evaluator import (
+        Evaluator,
+        ShardedEvaluator,
+    )
+
+    cfg, params, table, _ = _make_setup(n_items=60, d=16)
+    cfg = cfg.model_copy(update={"top_k": 8, "eval_batch_size": 8})
+    u, s = 13, cfg.max_seq_length
+    hw = RNG.integers(1, 61, size=(u, s)).astype(np.int32)
+    hists = [RNG.integers(1, 61, size=RNG.integers(1, 9)).astype(np.int32) for _ in range(u)]
+    tlists = [
+        np.unique(RNG.integers(1, 61, size=RNG.integers(0, 6)).astype(np.int32))
+        for _ in range(u)
+    ]
+    arrays = EvalArrays(
+        user_ids=[f"u{i}" for i in range(u)],
+        histories=hists,
+        history_window=hw,
+        target_lists=tlists,
+        n_targets=np.asarray([len(t) for t in tlists], np.int32),
+    )
+
+    single = Evaluator(cfg).run(params, jnp.asarray(table), arrays)
+
+    placed_full = pemb.place_table(table, mesh2x4)
+    placed_items = pemb.place_table(table[1:], mesh2x4)
+    sharded = ShardedEvaluator(cfg, mesh2x4, num_items=60).run(
+        params, (placed_full, placed_items), arrays
+    )
+    assert set(single) == set(sharded)
+    for key in single:
+        np.testing.assert_allclose(sharded[key], single[key], rtol=1e-5, atol=1e-6)

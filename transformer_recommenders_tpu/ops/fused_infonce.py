@@ -50,7 +50,7 @@ def _default_tiles(d: int, rn: int) -> tuple[int, int]:
     kernel's VMEM footprint — the dNeg backward holds the (tc, d) f32
     accumulator + (tr, tc) f32 logits + (tc, d) bf16 pool tile at once."""
     tr = 256
-    budget = 14_500_000
+    budget = 15_000_000
     per_col = 4 * tr + 6 * d
     tc = budget // per_col
     tc = max(512, 1 << (tc.bit_length() - 1))  # pow2 floor

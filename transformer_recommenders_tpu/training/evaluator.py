@@ -57,6 +57,82 @@ def make_eval_step(config: TrainConfig):
     return eval_step
 
 
+def make_sharded_eval_step(config: TrainConfig, mesh):
+    """Multi-chip eval: encode with the row-sharded table (model-axis
+    collective lookup) and retrieve with the column-sharded top-k +
+    all-gather merge.  Identical metrics to the single-device step
+    (tests/test_parallel.py::test_sharded_eval_matches)."""
+    import functools as ft
+
+    from transformer_recommenders_tpu.parallel.embedding import sharded_table_lookup
+    from transformer_recommenders_tpu.parallel.topk_sharded import sharded_topk
+
+    @ft.partial(jax.jit, static_argnames=("num_items",))
+    def eval_step(
+        params, table_sharded, items_sharded, history_window, history_full,
+        targets, n_targets, *, num_items: int,
+    ):
+        lookup = lambda idx: sharded_table_lookup(  # noqa: E731
+            table_sharded, idx, mesh
+        )
+        out = model_forward(
+            params, config, None, history_window, table_lookup=lookup
+        )
+        queries = out["sentence_embedding"]
+        top_scores, top_idx = sharded_topk(
+            queries,
+            items_sharded,
+            config.top_k,
+            mesh,
+            exclude_idx=jnp.asarray(history_full),
+            metric="cosine",
+            num_items=num_items,
+        )
+        rel = jnp.any(
+            (top_idx[:, :, None] == targets[:, None, :]) & (targets[:, None, :] > 0),
+            axis=-1,
+        )
+        return retrieval_metrics(rel, n_targets, config.top_k)
+
+    return eval_step
+
+
+class ShardedEvaluator:
+    """Evaluator over a (data, model) mesh with row-sharded tables."""
+
+    def __init__(self, config: TrainConfig, mesh, num_items: int) -> None:
+        self.config = config
+        self.mesh = mesh
+        self.num_items = num_items
+        self._eval_step = make_sharded_eval_step(config, mesh)
+
+    def run(
+        self, params, tables, arrays: EvalArrays, *, stage: str = "val"
+    ) -> dict[str, float]:
+        table_sharded, items_sharded = tables
+        b = self.config.eval_batch_size
+        u = len(arrays)
+        sums: dict[str, float] = {}
+        count = 0.0
+        for lo in range(0, u, b):
+            hw, hf, tg, nt = arrays.batch(lo, min(lo + b, u), b)
+            metrics = self._eval_step(
+                params, table_sharded, items_sharded, hw, hf, tg, nt,
+                num_items=self.num_items,
+            )
+            metrics = jax.device_get(metrics)
+            valid = np.asarray(metrics["valid"], np.float32)
+            count += float(valid.sum())
+            for name, values in metrics.items():
+                if name == "valid":
+                    continue
+                sums[name] = sums.get(name, 0.0) + float(
+                    np.sum(np.asarray(values) * valid)
+                )
+        denom = max(count, 1.0)
+        return {f"{stage}/{k}": v / denom for k, v in sums.items()}
+
+
 class Evaluator:
     def __init__(self, config: TrainConfig) -> None:
         self.config = config

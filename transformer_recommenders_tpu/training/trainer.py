@@ -54,6 +54,8 @@ class Trainer:
         self._fast_step = None
         self._host_step: int | None = None
         self._evaluator: Evaluator | None = None
+        self._sharded_evaluator = None
+        self._placed_items = None
 
     # -- setup ---------------------------------------------------------------
 
@@ -114,6 +116,17 @@ class Trainer:
                 self._train_step = make_train_step(cfg)
         if self._evaluator is None:
             self._evaluator = Evaluator(cfg)
+        if self.mesh is not None and self._sharded_evaluator is None:
+            from transformer_recommenders_tpu.parallel.embedding import place_table
+            from transformer_recommenders_tpu.training.evaluator import (
+                ShardedEvaluator,
+            )
+
+            table_np = np.asarray(self.model.item_table)
+            self._placed_items = place_table(table_np[1:], self.mesh)
+            self._sharded_evaluator = ShardedEvaluator(
+                cfg, self.mesh, num_items=table_np.shape[0] - 1
+            )
 
     def restore(self, ckpt_path: str) -> dict:
         """Resume from a checkpoint directory (parity: ``ckpt_path`` CLI
@@ -347,6 +360,13 @@ class Trainer:
         if self.config.limit_val_batches >= 0:
             n = self.config.limit_val_batches * self.config.eval_batch_size
             arrays = _slice_arrays(arrays, n)
+        if self._sharded_evaluator is not None:
+            return self._sharded_evaluator.run(
+                self.model.params,
+                (self._placed_table, self._placed_items),
+                arrays,
+                stage=stage,
+            )
         return self._evaluator.run(
             self.model.params, self.model.item_table, arrays, stage=stage
         )
