@@ -14,7 +14,6 @@ axis with an all-gather merge (``parallel/topk_sharded.py``).
 
 from __future__ import annotations
 
-import json
 import pathlib
 from typing import Any
 
@@ -167,6 +166,3 @@ class DeviceIndex:
         self.index_data(records, embeddings=embeddings)
         return self
 
-
-def _config_json(config: IndexConfig) -> str:
-    return json.dumps(config.model_dump(), indent=2)
