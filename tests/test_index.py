@@ -108,3 +108,20 @@ def test_index_data_idempotent_unless_overwrite(records, embeddings):
     assert len(idx.store) == N
     idx.index_data(fewer, embeddings=embeddings[:10], overwrite=True)
     assert len(idx.store) == 10
+
+
+def test_device_index_with_mesh(records, embeddings):
+    """DeviceIndex built over a mesh uses column-sharded retrieval and
+    matches the unsharded index."""
+    from transformer_recommenders_tpu.configs import MeshConfig
+    from transformer_recommenders_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(MeshConfig(data_axis_size=2, model_axis_size=4))
+    sharded = DeviceIndex(IndexConfig(table_name="items"), mesh=mesh)
+    sharded.index_data(records, embeddings=embeddings)
+    plain = DeviceIndex(IndexConfig(table_name="items"))
+    plain.index_data(records, embeddings=embeddings)
+    q = RNG.normal(size=D).astype(np.float32)
+    r1 = sharded.search(q, exclude_item_ids=["i3"], top_k=7)
+    r2 = plain.search(q, exclude_item_ids=["i3"], top_k=7)
+    assert [r["item_id"] for r in r1] == [r["item_id"] for r in r2]

@@ -273,3 +273,45 @@ def test_sharded_eval_matches_single_device(mesh2x4):
     assert set(single) == set(sharded)
     for key in single:
         np.testing.assert_allclose(sharded[key], single[key], rtol=1e-5, atol=1e-6)
+
+
+def test_full_trainer_on_2d_mesh(tmp_path):
+    """End-to-end fit/eval through the Trainer on a (4, 2) mesh: DP batch
+    sharding + row-sharded table + sharded eval, via the public config
+    surface (model_axis_size=2)."""
+    from transformer_recommenders_tpu.configs import SeqDataModuleConfig
+    from transformer_recommenders_tpu.data.module import SeqDataModule
+    from transformer_recommenders_tpu.training.trainer import Trainer
+
+    data_config = SeqDataModuleConfig(
+        data_dir=str(tmp_path / "data"),
+        dataset="synthetic",
+        embedder="hash",
+        embedding_dim=24,
+        max_seq_length=8,
+        batch_size=16,
+        synthetic_num_users=40,
+        synthetic_num_items=60,
+        synthetic_num_events=3000,
+    )
+    config = TrainConfig(
+        input_dim=24,
+        hidden_size=16,
+        num_hidden_layers=1,
+        num_attention_heads=4,
+        intermediate_size=16,
+        max_seq_length=8,
+        compute_dtype="float32",
+        max_epochs=1,
+        eval_batch_size=16,
+        top_k=5,
+        log_every_n_steps=1000,
+        ckpt_dir=str(tmp_path / "ckpt"),
+    )
+    config = config.model_copy(
+        update={"mesh": MeshConfig(data_axis_size=4, model_axis_size=2)}
+    )
+    trainer = Trainer(config, SeqDataModule(data_config), log_dir=str(tmp_path / "logs"))
+    result = trainer.fit()
+    assert trainer.mesh.shape == {"data": 4, "model": 2}
+    assert np.isfinite(result["val/retrieval_normalized_dcg"])

@@ -137,3 +137,52 @@ def test_asgi_bad_json():
 
     assert asyncio.run(raw()) == 400
     assert client.post("echo", {"a": 1}).json() == {"a": 1}
+
+
+def test_serving_with_projection(tmp_path):
+    """Projection configs (input_dim != hidden): the retrieval index ranks
+    in the query space while ItemQuery.embedding stays in the input space
+    for the normalization chain."""
+    from transformer_recommenders_tpu.configs import SeqDataModuleConfig, TrainConfig
+    from transformer_recommenders_tpu.data.module import SeqDataModule
+    from transformer_recommenders_tpu.training.trainer import Trainer
+
+    data_config = SeqDataModuleConfig(
+        data_dir=str(tmp_path / "data"),
+        dataset="synthetic",
+        embedder="hash",
+        embedding_dim=48,
+        max_seq_length=8,
+        batch_size=8,
+        synthetic_num_users=40,
+        synthetic_num_items=60,
+        synthetic_num_events=2000,
+    )
+    config = TrainConfig(
+        input_dim=48,
+        hidden_size=16,
+        num_hidden_layers=1,
+        num_attention_heads=4,
+        intermediate_size=16,
+        max_seq_length=8,
+        compute_dtype="float32",
+        max_epochs=1,
+        limit_train_batches=2,
+        eval_batch_size=16,
+        log_every_n_steps=1000,
+        ckpt_dir=str(tmp_path / "ckpt"),
+    )
+    trainer = Trainer(config, SeqDataModule(data_config), log_dir=str(tmp_path / "logs"))
+    trainer.fit()
+    trainer.save(tmp_path / "artifact")
+
+    svc = Service(tmp_path / "artifact")
+    client = TestClient(svc.to_asgi())
+    item_id = svc.item_index.index.store.records["item_id"].iloc[0]
+    item = client.post("item_id", {"item_id": str(item_id)}).json()
+    assert len(item["embedding"]) == 48  # input space
+    assert svc.item_index._embeddings.shape[1] == 48
+    # index embeddings are hidden-space
+    assert svc.item_index.index.embeddings.shape[1] == 16
+    recs = client.post("recommend_with_item_id", {"item_id": str(item_id), "top_k": 5}).json()
+    assert len(recs) == 5

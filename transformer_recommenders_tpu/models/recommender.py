@@ -214,6 +214,24 @@ def fast_table_lookup(
     return jnp.take(table, idx, axis=0)
 
 
+def retrieval_item_embeddings(
+    params: Params, cfg: ModelConfig, item_table: jax.Array
+) -> jax.Array:
+    """Catalog matrix in the QUERY (hidden) space, pad row excluded.
+
+    With a learned input projection (input_dim != hidden_size) training
+    scores queries against PROJECTED candidates, so retrieval must rank
+    against the projected table too; without one it is the raw frozen
+    table (reference behavior, where hidden == embedding dim).
+    """
+    items = item_table[1:]
+    if "input_proj" in params:
+        from transformer_recommenders_tpu.models.transformer import _dense
+
+        items = _dense(items, params["input_proj"], jnp.dtype(cfg.compute_dtype))
+    return items.astype(jnp.float32)
+
+
 def build_item_table(embeddings: np.ndarray | jax.Array) -> jax.Array:
     """Frozen item table with a zero row prepended as padding index 0.
 

@@ -178,11 +178,15 @@ class ItemIndexService:
         backend = INDEX_BACKENDS[config.backend]
         kwargs = {"mesh": mesh} if config.backend == "device" else {}
         self.index = backend.load(config, **kwargs)
-        # stored frozen embeddings backing the query-normalization chain
-        emb_path = (
-            pathlib.Path(artifact_dir) / INDEX_PATH / ITEMS_TABLE_NAME / "embeddings.npy"
+        # frozen INPUT-space embeddings back the query-normalization chain
+        # (ItemQuery.embedding feeds the encoder); the index's own
+        # embeddings.npy is the retrieval (query-space) matrix, which
+        # differs when a learned projection exists
+        table_dir = pathlib.Path(artifact_dir) / INDEX_PATH / ITEMS_TABLE_NAME
+        input_emb = table_dir / "input_embeddings.npy"
+        self._embeddings = np.load(
+            input_emb if input_emb.exists() else table_dir / "embeddings.npy"
         )
-        self._embeddings = np.load(emb_path)
 
     def search(self, query: Query) -> list[ItemCandidate]:
         assert query.embedding is not None

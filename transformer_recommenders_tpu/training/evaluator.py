@@ -18,7 +18,10 @@ import numpy as np
 
 from transformer_recommenders_tpu.configs import TrainConfig
 from transformer_recommenders_tpu.data.module import EvalArrays
-from transformer_recommenders_tpu.models.recommender import model_forward
+from transformer_recommenders_tpu.models.recommender import (
+    model_forward,
+    retrieval_item_embeddings,
+)
 from transformer_recommenders_tpu.ops.metrics import retrieval_metrics
 from transformer_recommenders_tpu.ops.topk import mask_excluded, score_items
 
@@ -39,7 +42,8 @@ def make_eval_step(config: TrainConfig):
     ):
         out = model_forward(params, config, item_table, history_window)
         queries = out["sentence_embedding"]  # (B, D)
-        scores = score_items(queries, item_table[1:], metric="cosine")
+        items = retrieval_item_embeddings(params, config, item_table)
+        scores = score_items(queries, items, metric="cosine")
         scores = mask_excluded(scores, history_full)
         top_scores, top_cols = jax.lax.top_k(scores, config.top_k)
         top_idx = (top_cols + 1).astype(jnp.int32)  # 1-based item idx
@@ -79,6 +83,14 @@ def make_sharded_eval_step(config: TrainConfig, mesh):
             params, config, None, history_window, table_lookup=lookup
         )
         queries = out["sentence_embedding"]
+        if "input_proj" in params:
+            # project the row-sharded catalog into the query space; GSPMD
+            # keeps the row sharding (row-wise matmul, replicated weights)
+            from transformer_recommenders_tpu.models.transformer import _dense
+
+            items_sharded = _dense(
+                items_sharded, params["input_proj"], jnp.dtype(config.compute_dtype)
+            ).astype(jnp.float32)
         top_scores, top_idx = sharded_topk(
             queries,
             items_sharded,

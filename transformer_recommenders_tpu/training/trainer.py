@@ -417,6 +417,17 @@ class Trainer:
         dm = self.datamodule
         store = path / INDEX_PATH
 
+        # retrieval index ranks in the QUERY space: projected embeddings
+        # when a learned projection exists, raw frozen otherwise
+        from transformer_recommenders_tpu.models.recommender import (
+            retrieval_item_embeddings,
+        )
+
+        index_embeddings = np.asarray(
+            retrieval_item_embeddings(
+                self.model.params, self.config, self.model.item_table
+            )
+        )
         items_index = DeviceIndex(
             IndexConfig(
                 index_path=str(store),
@@ -426,8 +437,11 @@ class Trainer:
                 embedding_col="embedding",
             )
         )
-        items_index.index_data(dm.items, embeddings=dm.item_embeddings)
+        items_index.index_data(dm.items, embeddings=index_embeddings)
         items_index.save(store)
+        # raw frozen inputs back the serving query-normalization chain
+        # (ItemQuery.embedding -> Model.embed inputs; service.py:226-249)
+        np.save(store / "items" / "input_embeddings.npy", dm.item_embeddings)
 
         # users: copy raw parquet (struct-of-list columns) + config sidecar
         users_dir = store / USERS_TABLE_NAME
