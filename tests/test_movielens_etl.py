@@ -155,3 +155,26 @@ def test_full_train_on_ml1m_format(ml1m_dir):
     trainer = Trainer(config, dm, log_dir=str(ml1m_dir / "logs"))
     result = trainer.fit()
     assert np.isfinite(result.get("val/retrieval_normalized_dcg", np.nan))
+
+
+def test_ml25m_loaders(tmp_path):
+    root = tmp_path / "ml-25m"
+    root.mkdir()
+    (root / "movies.csv").write_text(
+        "movieId,title,genres\n"
+        '1,Toy Story (1995),Adventure|Animation|Children\n'
+        '2,"American President, The (1995)",Comedy|Drama|Romance\n'
+    )
+    (root / "ratings.csv").write_text(
+        "userId,movieId,rating,timestamp\n"
+        "1,1,4.0,1147880044\n1,2,3.5,1147880055\n2,1,5.0,1147880066\n"
+    )
+    items = movielens.load_items(str(tmp_path), "ml-25m")
+    assert len(items) == 2
+    assert json.loads(items.iloc[1]["item_text"])["title"].startswith("American President")
+    users = movielens.load_users(str(tmp_path), "ml-25m")
+    assert set(users["user_id"]) == {"1", "2"}
+    assert users.iloc[0]["user_text"] == "{}"  # no demographics published
+    events = movielens.load_events(str(tmp_path), "ml-25m")
+    assert len(events) == 3
+    assert float(events.iloc[1]["event_value"]) == 3.5

@@ -81,7 +81,7 @@ def _bwd_kernel(idx_ref, g_ref, dtable_ref, acc_scr, *, num_row_tiles: int):
 def gather_rows(
     table: jax.Array,
     idx: jax.Array,
-    tile_rows: int = 512,
+    tile_rows: int = 2048,
     tile_table: int = 2048,
     interpret: bool = False,
 ) -> jax.Array:

@@ -106,6 +106,26 @@ def make_sharded_train_step(config: TrainConfig, mesh: Mesh):
             embeds["row_valid"],
             neg_valid,
         )
+        if (
+            getattr(config, "use_fused_loss", False)
+            and train_loss == "InfoNCELoss"
+            and jax.default_backend() != "cpu"
+        ):
+            from transformer_recommenders_tpu.ops.fused_infonce import (
+                fused_infonce_loss,
+            )
+
+            # fused Pallas objective (identical value, no HBM logit matrix);
+            # the XLA heads above remain for logging parity
+            losses[train_loss] = fused_infonce_loss(
+                embeds["query"],
+                embeds["pos_embed"],
+                neg_pool,
+                embeds["row_valid"],
+                neg_valid,
+                scale=config.scale,
+                mask_false_negatives=config.mask_false_negatives,
+            )
         # global sums -> replicated logs
         losses = {k: jax.lax.psum(v, DATA_AXIS) for k, v in losses.items()}
         pos_nz = jax.lax.psum(
