@@ -186,3 +186,31 @@ def test_serving_with_projection(tmp_path):
     assert svc.item_index.index.embeddings.shape[1] == 16
     recs = client.post("recommend_with_item_id", {"item_id": str(item_id), "top_k": 5}).json()
     assert len(recs) == 5
+
+
+def test_microbatcher_coalesces_concurrent_requests(service):
+    """Concurrent embed_query calls within the window run as ONE forward."""
+    import asyncio
+
+    calls = []
+    original = service.model.embed
+
+    def counting_embed(queries):
+        calls.append(len(queries))
+        return original(queries)
+
+    service.model.batcher._fn = counting_embed
+    d = service.model.embed_dim
+    rng = np.random.default_rng(0)
+
+    async def drive():
+        qs = [Query(input_embeds=rng.normal(size=(3, d)).tolist()) for _ in range(6)]
+        return await asyncio.gather(
+            *(service.model.batcher.submit(q) for q in qs)
+        )
+
+    out = asyncio.run(drive())
+    service.model.batcher._fn = original
+    assert all(q.embedding is not None for q in out)
+    # all six requests coalesced into a single batched forward
+    assert calls == [6], calls

@@ -179,3 +179,22 @@ def test_preprojected_table_equivalence():
     np.testing.assert_array_equal(
         np.asarray(fast["row_valid"]), np.asarray(slow["row_valid"])
     )
+
+
+def test_ml25m_scale_model_shape():
+    """The scale config (6 layers, d=256, seq 128 — configs/ml25m_ccl.yaml)
+    instantiates and runs forward."""
+    cfg = ModelConfig(
+        input_dim=384,
+        hidden_size=256,
+        num_hidden_layers=6,
+        num_attention_heads=8,
+        intermediate_size=1024,
+        max_seq_length=128,
+        compute_dtype="float32",
+    )
+    params = init_transformer_params(jax.random.key(0), cfg)
+    x = jax.random.normal(jax.random.key(1), (2, 128, 384))
+    out = transformer_encode(params, cfg, x)
+    assert out["sentence_embedding"].shape == (2, 256)
+    assert np.isfinite(np.asarray(out["sentence_embedding"])).all()

@@ -106,11 +106,11 @@ def make_sharded_train_step(config: TrainConfig, mesh: Mesh):
             embeds["row_valid"],
             neg_valid,
         )
-        if (
-            getattr(config, "use_fused_loss", False)
-            and train_loss == "InfoNCELoss"
-            and jax.default_backend() != "cpu"
-        ):
+        from transformer_recommenders_tpu.training.train_state import (
+            _fused_loss_enabled,
+        )
+
+        if _fused_loss_enabled(config) and train_loss == "InfoNCELoss":
             from transformer_recommenders_tpu.ops.fused_infonce import (
                 fused_infonce_loss,
             )

@@ -34,8 +34,12 @@ class TrainState(NamedTuple):
 
 
 def _fused_loss_enabled(config: TrainConfig) -> bool:
-    """Fused Pallas loss only off-CPU (interpret mode would be slow)."""
+    """Fused Pallas loss only off-CPU (interpret mode would be slow) and
+    only for configurations the kernel implements: hard-negative mining
+    (num_hard_negatives > 0) needs the XLA pipeline."""
     if not getattr(config, "use_fused_loss", False):
+        return False
+    if getattr(config, "num_hard_negatives", 0) > 0:
         return False
     try:
         return jax.default_backend() != "cpu"
