@@ -214,3 +214,52 @@ def test_microbatcher_coalesces_concurrent_requests(service):
     assert all(q.embedding is not None for q in out)
     # all six requests coalesced into a single batched forward
     assert calls == [6], calls
+
+
+def test_threaded_http_server(service):
+    """The stdlib HTTP bridge serves the real 8-API surface over a socket."""
+    import http.client
+    import json as jsonlib
+    import socket
+    import threading
+    import time as timelib
+
+    from transformer_recommenders_tpu.serving.asgi import serve
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    thread = threading.Thread(
+        target=serve, args=(service.to_asgi(),), kwargs={"host": "127.0.0.1", "port": port},
+        daemon=True,
+    )
+    thread.start()
+    deadline = timelib.time() + 10
+    last_exc = None
+    while timelib.time() < deadline:
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=5)
+            conn.request("POST", "/model_name", "{}")
+            resp = conn.getresponse()
+            assert resp.status == 200
+            assert jsonlib.loads(resp.read()) == "xfmr_rec_tpu"
+            break
+        except OSError as exc:  # server not up yet
+            last_exc = exc
+            timelib.sleep(0.2)
+    else:
+        raise AssertionError(f"server never came up: {last_exc}")
+
+    item_id = service.item_index.index.store.records["item_id"].iloc[0]
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+    conn.request(
+        "POST", "/recommend_with_item_id",
+        jsonlib.dumps({"item_id": str(item_id), "top_k": 3}),
+    )
+    resp = conn.getresponse()
+    assert resp.status == 200
+    recs = jsonlib.loads(resp.read())
+    assert len(recs) == 3
+    conn.request("POST", "/item_id", jsonlib.dumps({"item_id": "missing"}))
+    assert conn.getresponse().status == 404

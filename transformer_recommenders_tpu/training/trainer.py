@@ -295,7 +295,15 @@ class Trainer:
     def _run_epoch_scanned(
         self, epoch: int, root_key, t_start: float, examples: int
     ) -> tuple[bool, int]:
-        """One epoch via multi-step scanned dispatches (K steps/program)."""
+        """One epoch via multi-step scanned dispatches (K steps/program).
+
+        A producer thread samples and stacks the next windows while the
+        device executes the current one, so host sampling and the tunnel
+        upload overlap device compute.
+        """
+        import queue as queue_mod
+        import threading
+
         from transformer_recommenders_tpu.training.scan_steps import (
             make_scanned_train_steps,
             stack_batches,
@@ -307,50 +315,66 @@ class Trainer:
         if self._host_step is None:
             self._host_step = int(self.state.step)
         k = cfg.steps_per_dispatch
-        window: list[dict] = []
 
-        def flush(window):
-            nonlocal examples
-            stacked = stack_batches(window)
-            self.state, logs = self._scan_step(
-                self.state, self.model.item_table, stacked, root_key
-            )
-            examples += sum(b["history_item_idx"].shape[0] for b in window)
-            self._host_step += len(window)
-            if self._host_step // k % max(cfg.log_every_n_steps // k, 1) == 0:
-                means = {key: float(np.mean(np.asarray(v))) for key, v in logs.items()}
-                means["train/examples_per_s"] = examples / max(
-                    time.time() - t_start, 1e-9
-                )
-                self.logger.log(means, step=self._host_step)
+        window_queue: queue_mod.Queue = queue_mod.Queue(maxsize=2)
+        _DONE = object()
 
-        for i, batch in enumerate(self.datamodule.train_batches(epoch)):
-            if 0 <= cfg.limit_train_batches <= i:
-                break
-            window.append(batch)
-            if len(window) == k:
-                flush(window)
-                window = []
-                if 0 <= cfg.max_steps <= self._host_step:
-                    return True, examples
-                if time.time() - t_start > cfg.max_time_seconds:
-                    return True, examples
-        # the ragged tail reuses the single-step path to keep shapes static
-        if window:
-            if getattr(self, "_single_step", None) is None:
-                from transformer_recommenders_tpu.training.train_state import (
-                    make_train_step,
-                )
+        def produce() -> None:
+            buf: list[dict] = []
+            for i, batch in enumerate(self.datamodule.train_batches(epoch)):
+                if 0 <= cfg.limit_train_batches <= i:
+                    break
+                buf.append(batch)
+                if len(buf) == k:
+                    window_queue.put(("full", stack_batches(buf), k, sum(
+                        b["history_item_idx"].shape[0] for b in buf
+                    )))
+                    buf = []
+            if buf:  # ragged tail: handled by single-step dispatches
+                window_queue.put(("tail", buf, len(buf), sum(
+                    b["history_item_idx"].shape[0] for b in buf
+                )))
+            window_queue.put(_DONE)
 
-                self._single_step = make_train_step(cfg)
-            for batch in window:
-                step_key = jax.random.fold_in(root_key, self._host_step)
-                self.state, _ = self._single_step(
-                    self.state, self.model.item_table, batch, step_key
+        threading.Thread(target=produce, daemon=True).start()
+
+        while True:
+            item = window_queue.get()
+            if item is _DONE:
+                return False, examples
+            kind, payload, n_steps, n_examples = item
+            if kind == "full":
+                self.state, logs = self._scan_step(
+                    self.state, self.model.item_table, payload, root_key
                 )
-                examples += batch["history_item_idx"].shape[0]
-                self._host_step += 1
-        return False, examples
+                examples += n_examples
+                self._host_step += n_steps
+                if self._host_step // k % max(cfg.log_every_n_steps // k, 1) == 0:
+                    means = {
+                        key: float(np.mean(np.asarray(v))) for key, v in logs.items()
+                    }
+                    means["train/examples_per_s"] = examples / max(
+                        time.time() - t_start, 1e-9
+                    )
+                    self.logger.log(means, step=self._host_step)
+            else:  # ragged tail keeps shapes static via the single-step path
+                if getattr(self, "_single_step", None) is None:
+                    from transformer_recommenders_tpu.training.train_state import (
+                        make_train_step,
+                    )
+
+                    self._single_step = make_train_step(cfg)
+                for batch in payload:
+                    step_key = jax.random.fold_in(root_key, self._host_step)
+                    self.state, _ = self._single_step(
+                        self.state, self.model.item_table, batch, step_key
+                    )
+                    examples += batch["history_item_idx"].shape[0]
+                    self._host_step += 1
+            if 0 <= cfg.max_steps <= self._host_step:
+                return True, examples
+            if time.time() - t_start > cfg.max_time_seconds:
+                return True, examples
 
     # -- eval ----------------------------------------------------------------
 
