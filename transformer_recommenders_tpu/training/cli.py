@@ -9,6 +9,7 @@ and ``--ckpt_path`` resume.
 from __future__ import annotations
 
 import argparse
+import pathlib
 import sys
 from typing import Any
 
@@ -73,6 +74,17 @@ def build(args: argparse.Namespace, overrides: list[str]):
 
 
 def main(argv: list[str] | None = None) -> dict[str, float]:
+    import jax
+
+    # persistent compile cache: TPU programs (especially via remote compile
+    # services) can take minutes to build; repeat runs should not pay twice
+    if not jax.config.jax_compilation_cache_dir:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            str(pathlib.Path.home() / ".cache" / "jax_compilation"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     parser = argparse.ArgumentParser(prog="xrt-train")
     parser.add_argument(
         "command", choices=["fit", "validate", "test", "predict"], nargs="?", default="fit"
