@@ -66,6 +66,11 @@ class ModelConfig(pydantic.BaseModel):
     # TPU-first knobs
     compute_dtype: Literal["bfloat16", "float32"] = "bfloat16"
     use_pallas_attention: bool = False
+    # jax.checkpoint each encoder layer: recompute in backward instead of
+    # saving attention/FFN residuals.  Off by default (measured 25% SLOWER
+    # at the flagship size on v5e — recompute exceeds the saved traffic);
+    # useful for memory-bound deep/long-sequence configs
+    remat_layers: bool = False
 
     pretrained_model_name: str = PRETRAINED_MODEL_NAME
 

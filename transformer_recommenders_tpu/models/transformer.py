@@ -79,19 +79,28 @@ def init_transformer_params(rng: jax.Array, cfg: ModelConfig) -> Params:
     return params
 
 
-def _layer_norm(x: jax.Array, p: Params, eps: float) -> jax.Array:
+def _layer_norm(
+    x: jax.Array, p: Params, eps: float, out_dtype: jnp.dtype | None = None
+) -> jax.Array:
+    """LN computed in f32 (stability); the output joins the activation
+    stream in ``out_dtype`` so large activations never materialize in f32
+    (HBM traffic dominates the step otherwise)."""
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
     out = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    return out * p["scale"] + p["bias"]
+    out = out * p["scale"] + p["bias"]
+    return out.astype(out_dtype) if out_dtype is not None else out
 
 
 def _dense(x: jax.Array, p: Params, dtype: jnp.dtype) -> jax.Array:
-    return (
+    """Matmul in ``dtype`` with f32 accumulation; the RESULT is cast back to
+    ``dtype`` so downstream activations stay narrow in HBM."""
+    out = (
         jnp.dot(x.astype(dtype), p["w"].astype(dtype), preferred_element_type=jnp.float32)
         + p["b"]
     )
+    return out.astype(dtype)
 
 
 def _dropout(x: jax.Array, rate: float, rng: jax.Array | None) -> jax.Array:
@@ -212,17 +221,26 @@ def transformer_encode(
     x = input_embeds
     if "input_proj" in params and not inputs_projected:
         x = _dense(x, params["input_proj"], dtype)
-    x = x + params["pos_embed"][:s]
-    x = _layer_norm(x, params["embed_ln"], cfg.layer_norm_eps)
+    x = x.astype(dtype) + params["pos_embed"][:s].astype(dtype)
+    x = _layer_norm(x, params["embed_ln"], cfg.layer_norm_eps, dtype)
     x = _dropout(x, cfg.hidden_dropout, rngs[0])
 
-    for i, layer in enumerate(params["layers"]):
-        attn = _attention(x, layer, cfg, attention_mask, rngs[1 + 3 * i])
-        attn = _dropout(attn, cfg.hidden_dropout, rngs[2 + 3 * i])
-        x = _layer_norm(x + attn, layer["ln1"], cfg.layer_norm_eps)
+    def layer_fn(x, layer, r1, r2, r3):
+        attn = _attention(x, layer, cfg, attention_mask, r1)
+        attn = _dropout(attn, cfg.hidden_dropout, r2)
+        x = _layer_norm(x + attn, layer["ln1"], cfg.layer_norm_eps, dtype)
         ffn = _ffn(x, layer, cfg)
-        ffn = _dropout(ffn, cfg.hidden_dropout, rngs[3 + 3 * i])
-        x = _layer_norm(x + ffn, layer["ln2"], cfg.layer_norm_eps)
+        ffn = _dropout(ffn, cfg.hidden_dropout, r3)
+        return _layer_norm(x + ffn, layer["ln2"], cfg.layer_norm_eps, dtype)
+
+    if cfg.remat_layers:
+        # recompute layer internals in the backward pass instead of saving
+        # attention-prob / FFN-hidden residuals — HBM traffic, not FLOPs,
+        # bounds the step (see BASELINE.md breakdown)
+        layer_fn = jax.checkpoint(layer_fn)
+
+    for i, layer in enumerate(params["layers"]):
+        x = layer_fn(x, layer, rngs[1 + 3 * i], rngs[2 + 3 * i], rngs[3 + 3 * i])
 
     token_embeddings = x.astype(jnp.float32)
     sentence_embedding = pool_tokens(token_embeddings, attention_mask, cfg.pooling_mode)
