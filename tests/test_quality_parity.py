@@ -35,6 +35,7 @@ from transformer_recommenders_tpu.training.trainer import Trainer
 
 D, L, H, F, S = 64, 2, 4, 128, 8
 EPOCHS, LR, TOPK = 3, 3e-3, 10
+LOSS = "InfoNCELoss"
 
 
 @pytest.fixture(scope="module")
@@ -60,7 +61,7 @@ def shared(tmp_path_factory):
         compute_dtype="float32",
         hidden_dropout=0.0,
         attention_dropout=0.0,
-        train_loss="InfoNCELoss",
+        train_loss=LOSS,
         learning_rate=LR,
         max_epochs=EPOCHS,
         early_stopping_patience=99,
@@ -75,7 +76,7 @@ def shared(tmp_path_factory):
     return trainer, init_params
 
 
-def torch_reference_run(trainer, init_params):
+def torch_reference_run(trainer, init_params, loss_name="InfoNCELoss"):
     """Reference-semantics training loop in torch on the same data."""
     dm = trainer.datamodule
     model = build_hf_model(init_params)
@@ -105,15 +106,24 @@ def torch_reference_run(trainer, init_params):
             pos_logit = (q * pos_e).sum(-1)
             neg_logits = q @ neg_e.T
             fn_mask = neg_logits < pos_logit[:, None]
-            logits = torch.cat(
-                [pos_logit[:, None], neg_logits.masked_fill(~fn_mask, -torch.inf)],
-                dim=1,
-            )
-            loss = torch.nn.functional.cross_entropy(
-                logits,
-                torch.zeros(len(q), dtype=torch.long),
-                reduction="sum",
-            )
+            if loss_name == "InfoNCELoss":
+                logits = torch.cat(
+                    [pos_logit[:, None], neg_logits.masked_fill(~fn_mask, -torch.inf)],
+                    dim=1,
+                )
+                loss = torch.nn.functional.cross_entropy(
+                    logits,
+                    torch.zeros(len(q), dtype=torch.long),
+                    reduction="sum",
+                )
+            else:  # PairwiseLogisticLoss at margin=0 ~= BPR (losses.py:530-543)
+                margin = 0.0
+                scores = neg_logits - pos_logit[:, None] * (1 - margin)
+                w = fn_mask.float()
+                denom = w.sum(dim=1, keepdim=True) + 1e-9
+                loss = (
+                    torch.nn.functional.softplus(scores) * w / denom
+                ).sum()
             opt.zero_grad()
             loss.backward()
             opt.step()
@@ -149,7 +159,7 @@ def torch_reference_run(trainer, init_params):
 def test_quality_matches_torch_reference_pipeline(shared):
     trainer, init_params = shared
     ours = trainer.fit()
-    theirs = torch_reference_run(trainer, init_params)
+    theirs = torch_reference_run(trainer, init_params, LOSS)
 
     ndcg_ours = ours["val/retrieval_normalized_dcg"]
     ndcg_theirs = theirs["retrieval_normalized_dcg"]
@@ -163,3 +173,30 @@ def test_quality_matches_torch_reference_pipeline(shared):
     # ...and agree within run-to-run variance
     assert abs(ndcg_ours - ndcg_theirs) < 0.08
     assert abs(hit_ours - hit_theirs) < 0.15
+
+
+def test_bpr_quality_matches_torch_reference(shared, tmp_path):
+    """Same protocol with the BPR family (PairwiseLogisticLoss, margin=0) —
+    benchmark config #1's loss."""
+    base_trainer, init_params = shared
+    config = base_trainer.config.model_copy(
+        update={
+            "train_loss": "PairwiseLogisticLoss",
+            "margin": 0.0,
+            "ckpt_dir": str(tmp_path / "ckpt"),
+        }
+    )
+    trainer = Trainer(config, base_trainer.datamodule, log_dir=str(tmp_path / "logs"))
+    trainer.configure()
+    trainer.model.params = jax.tree.map(jnp.asarray, init_params)
+    trainer.state = None
+    trainer._train_step = None
+    trainer.configure()
+    ours = trainer.fit()
+    theirs = torch_reference_run(trainer, init_params, "PairwiseLogisticLoss")
+    print(f"BPR ours: ndcg={ours['val/retrieval_normalized_dcg']:.4f}")
+    print(f"BPR torch: ndcg={theirs['retrieval_normalized_dcg']:.4f}")
+    assert ours["val/retrieval_normalized_dcg"] > 0.05
+    assert abs(
+        ours["val/retrieval_normalized_dcg"] - theirs["retrieval_normalized_dcg"]
+    ) < 0.08
