@@ -1,0 +1,83 @@
+"""Fused pairwise/CCL kernel vs the XLA loss heads (values + grads)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transformer_recommenders_tpu.configs import LossConfig
+from transformer_recommenders_tpu.ops import fused_infonce as FI
+from transformer_recommenders_tpu.ops import losses as L
+from transformer_recommenders_tpu.ops.fused_pairwise import (
+    HEADS,
+    fused_pairwise_loss,
+)
+
+RNG = np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def exact_matmul(monkeypatch):
+    monkeypatch.setattr(FI, "_MATMUL_DTYPE", jnp.float32)
+
+
+def make_case(r=48, rn=48, d=32):
+    q = jnp.asarray(RNG.normal(size=(r, d)), jnp.float32)
+    p = jnp.asarray(RNG.normal(size=(r, d)), jnp.float32)
+    n = jnp.asarray(RNG.normal(size=(rn, d)), jnp.float32)
+    rv = jnp.asarray(RNG.random(r) > 0.25)
+    nv = jnp.asarray(RNG.random(rn) > 0.25)
+    return q, p, n, rv, nv
+
+
+def reference(cfg, name, q, p, n, rv, nv):
+    return L.compute_losses(cfg, q, p, n, rv, nv, loss_names=(name,))[name]
+
+
+def _norm(x):
+    return x / jnp.clip(jnp.linalg.norm(x, axis=-1, keepdims=True), min=1e-8)
+
+
+@pytest.mark.parametrize("head", HEADS)
+@pytest.mark.parametrize("margin", [0.0, 0.5], ids=["m0", "m05"])
+@pytest.mark.parametrize("mask_fn", [True, False], ids=["fn", "nofn"])
+def test_fused_pairwise_matches_reference(head, margin, mask_fn):
+    q, p, n, rv, nv = make_case()
+    cfg = LossConfig(margin=margin, mask_false_negatives=mask_fn)
+    expected = reference(cfg, head, q, p, n, rv, nv)
+    if head == "ContrastiveLoss":  # cosine head: normalize before the kernel
+        q2, p2, n2 = _norm(q), _norm(p), _norm(n)
+    else:
+        q2, p2, n2 = q, p, n
+    got = fused_pairwise_loss(
+        q2, p2, n2, rv, nv,
+        head=head, margin=margin, mask_false_negatives=mask_fn,
+        tile_rows=16, tile_cols=128, interpret=True,
+    )
+    np.testing.assert_allclose(float(got), float(expected), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("head", HEADS)
+def test_fused_pairwise_gradients(head):
+    q, p, n, rv, nv = make_case(r=32, rn=32, d=16)
+    cfg = LossConfig(margin=0.3)
+
+    def ref(q, p, n):
+        if head == "ContrastiveLoss":
+            return reference(cfg, head, q, p, n, rv, nv)
+        return reference(cfg, head, q, p, n, rv, nv)
+
+    def fused(q, p, n):
+        if head == "ContrastiveLoss":
+            q, p, n = _norm(q), _norm(p), _norm(n)
+        return fused_pairwise_loss(
+            q, p, n, rv, nv, head=head, margin=0.3,
+            tile_rows=16, tile_cols=128, interpret=True,
+        )
+
+    g_ref = jax.grad(ref, argnums=(0, 1, 2))(q, p, n)
+    g_fused = jax.grad(fused, argnums=(0, 1, 2))(q, p, n)
+    for a, b in zip(g_ref, g_fused):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-4, atol=5e-5
+        )

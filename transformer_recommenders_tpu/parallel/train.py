@@ -107,25 +107,14 @@ def make_sharded_train_step(config: TrainConfig, mesh: Mesh):
             neg_valid,
         )
         from transformer_recommenders_tpu.training.train_state import (
-            _fused_loss_enabled,
+            _fused_objective,
         )
 
-        if _fused_loss_enabled(config) and train_loss == "InfoNCELoss":
-            from transformer_recommenders_tpu.ops.fused_infonce import (
-                fused_infonce_loss,
-            )
-
-            # fused Pallas objective (identical value, no HBM logit matrix);
-            # the XLA heads above remain for logging parity
-            losses[train_loss] = fused_infonce_loss(
-                embeds["query"],
-                embeds["pos_embed"],
-                neg_pool,
-                embeds["row_valid"],
-                neg_valid,
-                scale=config.scale,
-                mask_false_negatives=config.mask_false_negatives,
-            )
+        # fused Pallas objective when a kernel covers the configured loss
+        # (identical value, no HBM logit matrix); XLA heads stay for logging
+        fused = _fused_objective(config, embeds, neg_pool, neg_valid)
+        if fused is not None:
+            losses[train_loss] = fused
         # global sums -> replicated logs
         losses = {k: jax.lax.psum(v, DATA_AXIS) for k, v in losses.items()}
         pos_nz = jax.lax.psum(

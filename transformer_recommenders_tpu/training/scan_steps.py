@@ -35,9 +35,7 @@ def make_scanned_train_steps(config: TrainConfig, *, with_logs: bool = True):
     """
     opt = make_optimizer(config)
     train_loss = config.train_loss
-    from transformer_recommenders_tpu.training.train_state import _fused_loss_enabled
-
-    use_fused = _fused_loss_enabled(config) and train_loss == "InfoNCELoss"
+    from transformer_recommenders_tpu.training.train_state import _fused_objective
 
     def loss_fn(params, table, batch, rng):
         embeds = compute_embeds(
@@ -49,21 +47,8 @@ def make_scanned_train_steps(config: TrainConfig, *, with_logs: bool = True):
             batch["neg_item_idx"],
             dropout_rng=rng,
         )
-        if use_fused:
-            from transformer_recommenders_tpu.ops.fused_infonce import (
-                fused_infonce_loss,
-            )
-
-            loss = fused_infonce_loss(
-                embeds["query"],
-                embeds["pos_embed"],
-                embeds["neg_pool"],
-                embeds["row_valid"],
-                embeds["neg_valid"],
-                scale=config.scale,
-                mask_false_negatives=config.mask_false_negatives,
-            )
-        else:
+        loss = _fused_objective(config, embeds)
+        if loss is None:
             loss = loss_lib.compute_losses(
                 config,
                 embeds["query"],

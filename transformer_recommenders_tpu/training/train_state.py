@@ -47,6 +47,50 @@ def _fused_loss_enabled(config: TrainConfig) -> bool:
         return False
 
 
+
+
+def _fused_objective(config: TrainConfig, embeds, neg_pool=None, neg_valid=None):
+    """Fused Pallas objective for the configured train loss, or None when no
+    kernel covers it (hard-negative mining, NCE/alignment heads, CPU)."""
+    if not _fused_loss_enabled(config):
+        return None
+    pool = neg_pool if neg_pool is not None else embeds["neg_pool"]
+    nvalid = neg_valid if neg_valid is not None else embeds["neg_valid"]
+    name = config.train_loss
+    if name == "InfoNCELoss":
+        from transformer_recommenders_tpu.ops.fused_infonce import (
+            fused_infonce_loss,
+        )
+
+        return fused_infonce_loss(
+            embeds["query"], embeds["pos_embed"], pool,
+            embeds["row_valid"], nvalid,
+            scale=config.scale,
+            mask_false_negatives=config.mask_false_negatives,
+        )
+    from transformer_recommenders_tpu.ops.fused_pairwise import (
+        HEADS,
+        fused_pairwise_loss,
+    )
+
+    if name in HEADS:
+        q, p, n = embeds["query"], embeds["pos_embed"], pool
+        if name == "ContrastiveLoss":  # cosine head
+            def norm(x):
+                return x / jnp.clip(
+                    jnp.linalg.norm(x, axis=-1, keepdims=True), min=1e-8
+                )
+
+            q, p, n = norm(q), norm(p), norm(n)
+        return fused_pairwise_loss(
+            q, p, n, embeds["row_valid"], nvalid,
+            head=name,
+            margin=config.margin,
+            mask_false_negatives=config.mask_false_negatives,
+        )
+    return None
+
+
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
     return optax.adamw(
         config.learning_rate, weight_decay=config.weight_decay
@@ -86,21 +130,8 @@ def make_train_step(config: TrainConfig, *, full_logs: bool = True):
             dropout_rng=rng,
         )
         if not full_logs:
-            if use_fused and config.train_loss == "InfoNCELoss":
-                from transformer_recommenders_tpu.ops.fused_infonce import (
-                    fused_infonce_loss,
-                )
-
-                objective = fused_infonce_loss(
-                    embeds["query"],
-                    embeds["pos_embed"],
-                    embeds["neg_pool"],
-                    embeds["row_valid"],
-                    embeds["neg_valid"],
-                    scale=config.scale,
-                    mask_false_negatives=config.mask_false_negatives,
-                )
-            else:
+            objective = _fused_objective(config, embeds)
+            if objective is None:
                 objective = loss_lib.compute_losses(
                     loss_cfg,
                     embeds["query"],
@@ -147,21 +178,8 @@ def make_train_step(config: TrainConfig, *, full_logs: bool = True):
             "batch/positive_non_zero": pos_nz,
             "batch/positive_density": pos_nz / (attn_nz + 1e-9),
         }
-        if use_fused and config.train_loss == "InfoNCELoss":
-            from transformer_recommenders_tpu.ops.fused_infonce import (
-                fused_infonce_loss,
-            )
-
-            objective = fused_infonce_loss(
-                embeds["query"],
-                embeds["pos_embed"],
-                embeds["neg_pool"],
-                embeds["row_valid"],
-                embeds["neg_valid"],
-                scale=config.scale,
-                mask_false_negatives=config.mask_false_negatives,
-            )
-        else:
+        objective = _fused_objective(config, embeds)
+        if objective is None:
             objective = all_losses[config.train_loss]
         return objective, logs
 
