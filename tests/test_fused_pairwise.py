@@ -8,10 +8,11 @@ import pytest
 from transformer_recommenders_tpu.configs import LossConfig
 from transformer_recommenders_tpu.ops import fused_infonce as FI
 from transformer_recommenders_tpu.ops import losses as L
-from transformer_recommenders_tpu.ops.fused_pairwise import (
-    HEADS,
-    fused_pairwise_loss,
-)
+from transformer_recommenders_tpu.ops.fused_pairwise import fused_pairwise_loss
+
+# heads whose FULL loss is the kernel's pool reduction (NCELoss adds a
+# positive BCE term outside the kernel — tested via _fused_objective below)
+POOL_HEADS = ("ContrastiveLoss", "PairwiseHingeLoss", "PairwiseLogisticLoss")
 
 RNG = np.random.default_rng(0)
 
@@ -38,7 +39,7 @@ def _norm(x):
     return x / jnp.clip(jnp.linalg.norm(x, axis=-1, keepdims=True), min=1e-8)
 
 
-@pytest.mark.parametrize("head", HEADS)
+@pytest.mark.parametrize("head", POOL_HEADS)
 @pytest.mark.parametrize("margin", [0.0, 0.5], ids=["m0", "m05"])
 @pytest.mark.parametrize("mask_fn", [True, False], ids=["fn", "nofn"])
 def test_fused_pairwise_matches_reference(head, margin, mask_fn):
@@ -57,7 +58,7 @@ def test_fused_pairwise_matches_reference(head, margin, mask_fn):
     np.testing.assert_allclose(float(got), float(expected), rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.parametrize("head", HEADS)
+@pytest.mark.parametrize("head", POOL_HEADS)
 def test_fused_pairwise_gradients(head):
     q, p, n, rv, nv = make_case(r=32, rn=32, d=16)
     cfg = LossConfig(margin=0.3)
@@ -81,3 +82,43 @@ def test_fused_pairwise_gradients(head):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=5e-4, atol=5e-5
         )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["NCELoss", "AlignmentLoss", "AlignmentContrastiveLoss",
+     "ContrastiveLoss", "PairwiseHingeLoss", "PairwiseLogisticLoss"],
+)
+def test_fused_objective_helper_matches_reference(name, monkeypatch):
+    """The _fused_objective composition (kernel pool term + XLA row terms)
+    matches the XLA loss heads for every remaining loss."""
+    import jax.numpy as jnp
+
+    from transformer_recommenders_tpu.configs import TrainConfig
+    from transformer_recommenders_tpu.training import train_state as TS
+
+    q, p, n, rv, nv = make_case()
+    cfg = TrainConfig(
+        train_loss=name, margin=0.3, compute_dtype="float32",
+        hidden_size=32, num_attention_heads=4,
+    )
+    expected = reference(LossConfig(margin=0.3), name, q, p, n, rv, nv)
+    monkeypatch.setattr(TS, "_fused_loss_enabled", lambda c: True)
+    embeds = {
+        "query": q, "pos_embed": p, "neg_pool": n,
+        "row_valid": rv, "neg_valid": nv,
+    }
+    # interpret-mode kernels on CPU: patch fused_pairwise_loss to interpret
+    import transformer_recommenders_tpu.ops.fused_pairwise as FP
+
+    orig = FP.fused_pairwise_loss
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        kw["tile_rows"], kw["tile_cols"] = 16, 128
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(FP, "fused_pairwise_loss", interp)
+    got = TS._fused_objective(cfg, embeds)
+    assert got is not None
+    np.testing.assert_allclose(float(got), float(expected), rtol=2e-5, atol=2e-5)

@@ -29,7 +29,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-HEADS = ("ContrastiveLoss", "PairwiseHingeLoss", "PairwiseLogisticLoss")
+# heads whose pool reduction the kernel implements directly; NCELoss adds a
+# per-row positive BCE term composed OUTSIDE the kernel (cheap (R,) math),
+# and Alignment(Contrastive)Loss compose alignment the same way — see
+# training.train_state._fused_objective
+HEADS = (
+    "ContrastiveLoss",
+    "PairwiseHingeLoss",
+    "PairwiseLogisticLoss",
+    "NCELoss",
+)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -39,9 +48,11 @@ def _round_up(x: int, m: int) -> int:
 def _scores_and_fprime(head: str, logits, pos, margin):
     if head == "ContrastiveLoss":
         s = logits - 1.0 + margin
+    elif head == "NCELoss":  # negatives labeled 0: BCE = softplus(logit)
+        s = logits
     else:
         s = logits - (pos * (1.0 - margin))[:, None]
-    if head == "PairwiseLogisticLoss":
+    if head in ("PairwiseLogisticLoss", "NCELoss"):
         return jax.nn.softplus(s), jax.nn.sigmoid(s)
     return jax.nn.relu(s), (s > 0).astype(jnp.float32)
 
@@ -102,7 +113,7 @@ def _bwd_dq_kernel(
     w = valid.astype(jnp.float32) * (g / (den + 1e-9))[:, None]
     dl = (w * fp).astype(n_ref.dtype)  # (Tr, Tc)
     acc_scr[:, :] += jnp.dot(dl, n_ref[:], preferred_element_type=jnp.float32)
-    if head != "ContrastiveLoss":
+    if head not in ("ContrastiveLoss", "NCELoss"):
         dpos_scr[:] += jnp.sum(w * fp, axis=1) * (-(1.0 - margin))
 
     @pl.when(j == num_col_tiles - 1)

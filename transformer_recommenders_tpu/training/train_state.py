@@ -73,22 +73,35 @@ def _fused_objective(config: TrainConfig, embeds, neg_pool=None, neg_valid=None)
         fused_pairwise_loss,
     )
 
-    if name in HEADS:
-        q, p, n = embeds["query"], embeds["pos_embed"], pool
-        if name == "ContrastiveLoss":  # cosine head
-            def norm(x):
-                return x / jnp.clip(
-                    jnp.linalg.norm(x, axis=-1, keepdims=True), min=1e-8
-                )
+    def norm(x):
+        return x / jnp.clip(jnp.linalg.norm(x, axis=-1, keepdims=True), min=1e-8)
 
-            q, p, n = norm(q), norm(p), norm(n)
-        return fused_pairwise_loss(
-            q, p, n, embeds["row_valid"], nvalid,
-            head=name,
-            margin=config.margin,
-            mask_false_negatives=config.mask_false_negatives,
-        )
-    return None
+    rv = embeds["row_valid"].astype(jnp.float32)
+    cosine = name in ("ContrastiveLoss", "AlignmentLoss", "AlignmentContrastiveLoss")
+    q, p, n = embeds["query"], embeds["pos_embed"], pool
+    if cosine:
+        q, p, n = norm(q), norm(p), norm(n)
+    pos_logit = jnp.sum(
+        q.astype(jnp.float32) * p.astype(jnp.float32), axis=-1
+    )
+
+    if name == "AlignmentLoss":  # no pool reduction at all (losses.py:408-426)
+        return jnp.sum((1.0 - pos_logit) * rv)
+
+    pool_head = {"AlignmentContrastiveLoss": "ContrastiveLoss"}.get(name, name)
+    if pool_head not in HEADS:
+        return None
+    pool_term = fused_pairwise_loss(
+        q, p, n, embeds["row_valid"], nvalid,
+        head=pool_head,
+        margin=config.margin,
+        mask_false_negatives=config.mask_false_negatives,
+    )
+    if name == "AlignmentContrastiveLoss":  # losses.py:429-447
+        return jnp.sum((1.0 - pos_logit) * rv) + pool_term
+    if name == "NCELoss":  # + per-row positive BCE term (losses.py:491-511)
+        return jnp.sum(jax.nn.softplus(-pos_logit) * rv) + pool_term
+    return pool_term
 
 
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
