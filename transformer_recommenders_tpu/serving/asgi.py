@@ -30,6 +30,11 @@ class NotFound(Exception):
 class JSONApp:
     def __init__(self) -> None:
         self.routes: dict[str, Handler] = {}
+        # request counters surfaced at /metrics (Prometheus text format;
+        # parity: BentoML exposes Prometheus metrics by default,
+        # SURVEY.md §5.5)
+        self.request_counts: dict[tuple[str, int], int] = {}
+        self.request_seconds: dict[str, float] = {}
 
     def route(self, name: str) -> Callable[[Handler], Handler]:
         def register(fn: Handler) -> Handler:
@@ -66,6 +71,35 @@ class JSONApp:
         await send({"type": "http.response.body", "body": data})
 
     async def _dispatch(self, path: str, body: bytes) -> tuple[int, Any]:
+        import time
+
+        t0 = time.perf_counter()
+        status, payload = await self._dispatch_inner(path, body)
+        self.request_counts[(path, status)] = (
+            self.request_counts.get((path, status), 0) + 1
+        )
+        self.request_seconds[path] = self.request_seconds.get(path, 0.0) + (
+            time.perf_counter() - t0
+        )
+        return status, payload
+
+    def metrics_text(self) -> str:
+        """Prometheus text exposition of the request counters."""
+        lines = [
+            "# TYPE xrt_requests_total counter",
+        ]
+        for (path, status), n in sorted(self.request_counts.items()):
+            lines.append(
+                f'xrt_requests_total{{route="{path}",status="{status}"}} {n}'
+            )
+        lines.append("# TYPE xrt_request_seconds_total counter")
+        for path, secs in sorted(self.request_seconds.items()):
+            lines.append(f'xrt_request_seconds_total{{route="{path}"}} {secs:.6f}')
+        return "\n".join(lines) + "\n"
+
+    async def _dispatch_inner(self, path: str, body: bytes) -> tuple[int, Any]:
+        if path == "metrics":
+            return 200, self.metrics_text()
         handler = self.routes.get(path)
         if handler is None:
             return 404, {"error": f"no such route: /{path}"}
@@ -134,30 +168,61 @@ class TestClient:
         return Response(status, json.loads(data) if data else None)
 
 
-def serve(app: JSONApp, host: str = "0.0.0.0", port: int = 3000) -> None:
-    """Blocking threaded HTTP server bridging into the ASGI app."""
+def serve(
+    app: JSONApp, host: str = "0.0.0.0", port: int = 3000, *, workers: int = 1
+) -> None:
+    """Blocking HTTP server bridging into the ASGI app.
+
+    ``workers > 1`` forks that many processes, each binding the same port
+    with ``SO_REUSEPORT`` (kernel load-balancing) — the stdlib equivalent
+    of the reference's BentoML ``workers="cpu_count"``
+    (``xfmr_rec/service.py:206``).
+    """
     import http.server
+    import os
+    import socket
     import socketserver
 
     class Bridge(http.server.BaseHTTPRequestHandler):
-        def do_POST(self) -> None:  # noqa: N802
+        def _respond(self) -> None:
             length = int(self.headers.get("content-length", 0))
             body = self.rfile.read(length)
             status, payload = asyncio.run(
                 app._dispatch(self.path.strip("/"), body)
             )
-            data = json.dumps(payload).encode()
+            if isinstance(payload, str) and self.path.strip("/") == "metrics":
+                data = payload.encode()
+                ctype = b"text/plain; version=0.0.4"
+            else:
+                data = json.dumps(payload).encode()
+                ctype = b"application/json"
             self.send_response(status)
-            self.send_header("content-type", "application/json")
+            self.send_header("content-type", ctype.decode())
             self.send_header("content-length", str(len(data)))
             self.end_headers()
             self.wfile.write(data)
+
+        def do_POST(self) -> None:  # noqa: N802
+            self._respond()
+
+        def do_GET(self) -> None:  # noqa: N802
+            self._respond()
 
         def log_message(self, *args) -> None:  # quiet
             pass
 
     class Server(socketserver.ThreadingTCPServer):
         allow_reuse_address = True
+
+        def server_bind(self) -> None:
+            if workers > 1 and hasattr(socket, "SO_REUSEPORT"):
+                self.socket.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEPORT, 1)
+            super().server_bind()
+
+    if workers > 1 and hasattr(socket, "SO_REUSEPORT"):
+        for _ in range(workers - 1):
+            if os.fork() == 0:
+                break  # child falls through to serve
 
     with Server((host, port), Bridge) as server:
         server.serve_forever()

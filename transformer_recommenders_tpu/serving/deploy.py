@@ -131,12 +131,16 @@ def cli_main() -> None:
     parser.add_argument("--artifact_dir", default="")
     parser.add_argument("--serve", action="store_true", help="start the HTTP server")
     parser.add_argument("--port", type=int, default=3000)
+    parser.add_argument(
+        "--workers", type=int, default=1,
+        help="SO_REUSEPORT worker processes (parity: BentoML workers)",
+    )
     args = parser.parse_args()
     service = main(args.ckpt_path, args.artifact_dir)
     if args.serve:
         from transformer_recommenders_tpu.serving.asgi import serve
 
-        serve(service.to_asgi(), port=args.port)
+        serve(service.to_asgi(), port=args.port, workers=args.workers)
 
 
 if __name__ == "__main__":
