@@ -134,3 +134,68 @@ def test_checkpoint_orbax_backend(trainer, tmp_path):
 
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_every_epoch_false_writes_once(tmp_path, trainer):
+    """Device-resident best state: disk writes happen only at fit end,
+    best weights still restored."""
+    dm = trainer.datamodule
+    config = trainer.config.model_copy(
+        update={
+            "checkpoint_every_epoch": False,
+            "max_epochs": 2,
+            "ckpt_dir": str(tmp_path / "ckpt"),
+        }
+    )
+    t = Trainer(config, dm, log_dir=str(tmp_path / "logs"))
+    result = t.fit()
+    assert np.isfinite(result["val/retrieval_normalized_dcg"])
+    assert (tmp_path / "ckpt" / "best" / "state.npz").exists()
+    assert (tmp_path / "ckpt" / "last" / "state.npz").exists()
+    # restoring the written best reproduces the final (restored-best) params
+    fresh = Trainer(config, dm, log_dir=str(tmp_path / "logs2"))
+    fresh.restore(str(tmp_path / "ckpt" / "best"))
+    import jax
+
+    for a, b in zip(jax.tree.leaves(t.model.params), jax.tree.leaves(fresh.model.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_predict_output_parquet(tmp_path, trainer):
+    """xrt-train predict --predict_output writes a recommendations table."""
+    import pandas as pd
+
+    from transformer_recommenders_tpu.training import cli
+
+    ckpt = str(np.vectorize(str)(trainer.config.ckpt_dir)) + "/best"
+    out = tmp_path / "recs.parquet"
+    cfg_dir = str(trainer.config.ckpt_dir)
+    cli.main(
+        [
+            "predict",
+            "--ckpt_path", ckpt,
+            "--log_dir", str(tmp_path / "logs"),
+            "--predict_output", str(out),
+            "--data.data_dir", str(trainer.datamodule.config.data_dir),
+            "--data.dataset", "synthetic",
+            "--data.embedder", "hash",
+            "--data.embedding_dim", "32",
+            "--data.max_seq_length", "8",
+            "--data.batch_size", "16",
+            "--data.synthetic_num_users", "60",
+            "--data.synthetic_num_items", "80",
+            "--data.synthetic_num_events", "6000",
+            "--model.hidden_size", "32",
+            "--model.num_hidden_layers", "1",
+            "--model.num_attention_heads", "4",
+            "--model.intermediate_size", "32",
+            "--model.max_seq_length", "8",
+            "--model.compute_dtype", "float32",
+            "--model.top_k", "10",
+            "--model.eval_batch_size", "32",
+        ]
+    )
+    df = pd.read_parquet(out)
+    assert {"user_id", "item_ids", "scores"} <= set(df.columns)
+    assert len(df) > 0
+    assert len(df.iloc[0]["item_ids"]) == 10
