@@ -33,6 +33,18 @@ class DeviceIndex:
         self.store: RecordStore | None = None
         self.embeddings = None  # (N, D) device array (or sharded)
         self._num_items = 0
+        import functools
+        import jax
+
+        metric = self.config.metric
+
+        @functools.partial(jax.jit, static_argnums=(3,))
+        def _search(queries, table, exclude, k):
+            return topk_items(queries, table, k, exclude_idx=exclude, metric=metric)
+
+        # table passed as a traced argument (NOT closed over) so re-indexing
+        # with overwrite never serves a stale captured constant
+        self._jit_search = lambda q, e, k: _search(q, self.embeddings, e, k)
 
     # -- building ------------------------------------------------------------
 
@@ -91,11 +103,12 @@ class DeviceIndex:
             for i in (exclude_item_ids or [])
             if i in self.store._pos
         ]
-        exclude = (
-            jnp.asarray([exclude_pos], jnp.int32)
-            if exclude_pos
-            else jnp.zeros((1, 1), jnp.int32)
-        )
+        # pad the exclusion list to a power-of-two width so the jitted
+        # search compiles O(log) programs instead of one per list length
+        width = 1 << max(len(exclude_pos) - 1, 0).bit_length() if exclude_pos else 1
+        padded = np.zeros((1, width), np.int32)
+        padded[0, : len(exclude_pos)] = exclude_pos
+        exclude = jnp.asarray(padded)
         k = min(top_k, self._num_items)
         if self.mesh is not None:
             from transformer_recommenders_tpu.parallel.topk_sharded import sharded_topk
@@ -110,13 +123,7 @@ class DeviceIndex:
                 num_items=self._num_items,
             )
         else:
-            scores, idx = topk_items(
-                queries,
-                self.embeddings,
-                k,
-                exclude_idx=exclude,
-                metric=self.config.metric,
-            )
+            scores, idx = self._jit_search(queries, exclude, k)
         scores = np.asarray(scores[0])
         idx = np.asarray(idx[0])
         out = []

@@ -264,7 +264,16 @@ class RecommenderModel:
         self.item_table: jax.Array | None = None
         self.id2idx: dict[str, int] | None = None
         self.item_ids: list[str] | None = None
-        self._encode_fn = None
+        # jitted forward closures (shape-polymorphic via jit's shape cache);
+        # eager dispatch is slow everywhere and pathological over tunneled
+        # chips, so the serving/encode hot paths must never run op-by-op
+        cfg = self.config
+        self._jit_forward_idx = jax.jit(
+            lambda params, table, idx: model_forward(params, cfg, table, idx)
+        )
+        self._jit_forward_embeds = jax.jit(
+            lambda params, embeds: model_forward(params, cfg, None, item_embeds=embeds)
+        )
 
     @property
     def max_seq_length(self) -> int:
@@ -290,29 +299,33 @@ class RecommenderModel:
         item_embeds: jax.Array | np.ndarray | None = None,
         dropout_rng: jax.Array | None = None,
     ) -> dict[str, jax.Array]:
+        if dropout_rng is not None:  # training-mode calls stay un-jitted here
+            return model_forward(
+                self.params,
+                self.config,
+                self.item_table,
+                jnp.asarray(item_idx) if item_idx is not None else None,
+                item_embeds=jnp.asarray(item_embeds) if item_embeds is not None else None,
+                dropout_rng=dropout_rng,
+            )
         if item_idx is not None:
             assert self.item_table is not None, "call configure_embeddings first"
-            item_idx = jnp.asarray(item_idx)
-        if item_embeds is not None:
-            item_embeds = jnp.asarray(item_embeds)
-        return model_forward(
-            self.params,
-            self.config,
-            self.item_table,
-            item_idx,
-            item_embeds=item_embeds,
-            dropout_rng=dropout_rng,
-        )
+            return self._jit_forward_idx(
+                self.params, self.item_table, jnp.asarray(item_idx)
+            )
+        return self._jit_forward_embeds(self.params, jnp.asarray(item_embeds))
 
     def encode(self, item_ids: list[str]) -> jax.Array:
         """Encode an item-id sequence to its pooled embedding, silently
         dropping unknown ids.  Parity: ``xfmr_rec/models.py:347-364``."""
         assert self.id2idx is not None, "call configure_embeddings first"
         idx = [self.id2idx[i] for i in item_ids if i in self.id2idx]
-        if not idx:
-            idx = [0]
-        arr = jnp.asarray(idx, jnp.int32)[None, -self.max_seq_length :]
-        return self(arr)["sentence_embedding"][0]
+        idx = idx[-self.max_seq_length :]
+        # fixed (1, max_seq) shape (zero-padded tail) so the jitted forward
+        # compiles once, not once per history length
+        arr = np.zeros((1, self.max_seq_length), np.int32)
+        arr[0, : len(idx)] = idx
+        return self(jnp.asarray(arr))["sentence_embedding"][0]
 
     def compute_embeds(
         self,
