@@ -1,0 +1,73 @@
+"""Targeted edge-case coverage: exclusion scatter, mesh validation, CLIs."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transformer_recommenders_tpu.configs import MeshConfig
+from transformer_recommenders_tpu.ops.topk import mask_excluded, topk_items
+from transformer_recommenders_tpu.parallel.mesh import create_mesh
+
+
+def test_mask_excluded_pad_zero_never_hits_item_one():
+    """Exclusion padding (idx 0) must NOT mask item idx 1 (column 0) — pads
+    route to an out-of-range column and drop."""
+    scores = jnp.ones((2, 5))
+    exclude = jnp.asarray([[0, 0, 0], [2, 0, 0]], jnp.int32)
+    out = np.asarray(mask_excluded(scores, exclude))
+    # row 0: nothing excluded (all pads)
+    assert np.isfinite(out[0]).all()
+    # row 1: only item idx 2 (column 1) masked
+    assert not np.isfinite(out[1, 1])
+    assert np.isfinite(out[1, [0, 2, 3, 4]]).all()
+
+
+def test_topk_with_more_exclusions_than_items():
+    items = jnp.asarray(np.random.default_rng(0).normal(size=(4, 8)), jnp.float32)
+    q = jnp.asarray(np.random.default_rng(1).normal(size=(1, 8)), jnp.float32)
+    exclude = jnp.asarray([[1, 2, 3, 4, 1, 2]], jnp.int32)  # everything
+    scores, idx = topk_items(q, items, 4, exclude_idx=exclude)
+    assert not np.isfinite(np.asarray(scores)).any()  # nothing left
+
+
+def test_create_mesh_validation():
+    with pytest.raises(ValueError, match="not divisible"):
+        create_mesh(MeshConfig(model_axis_size=3))  # 8 % 3 != 0
+    with pytest.raises(ValueError, match="exceeds"):
+        create_mesh(MeshConfig(data_axis_size=8, model_axis_size=2))
+    mesh = create_mesh(MeshConfig())  # defaults: all devices, model=1
+    assert mesh.shape == {"data": 8, "model": 1}
+
+
+def test_module_entrypoints_importable():
+    """`python -m ...cli` paths resolve (module __main__ smoke without
+    spawning subprocesses)."""
+    import importlib
+
+    for mod in [
+        "transformer_recommenders_tpu.training.cli",
+        "transformer_recommenders_tpu.data.cli",
+        "transformer_recommenders_tpu.serving.deploy",
+    ]:
+        m = importlib.import_module(mod)
+        assert hasattr(m, "main") or hasattr(m, "cli_main")
+
+
+def test_record_store_unicode_and_quotes():
+    """Ids containing quotes (the reference escapes them for SQL,
+    index.py:241) must round-trip through the store."""
+    import pandas as pd
+
+    from transformer_recommenders_tpu.index.store import RecordStore
+
+    records = pd.DataFrame(
+        {"item_id": ["o'brien", 'say "hi"', "émile"], "item_text": ["a", "b", "c"]}
+    )
+    store = RecordStore(records, "item_id")
+    assert store.get_id("o'brien")["item_text"] == "a"
+    assert store.get_id('say "hi"')["item_text"] == "b"
+    assert store.get_id("émile")["item_text"] == "c"
+    assert [r["item_id"] for r in store.get_ids(['say "hi"', "o'brien"])] == [
+        "o'brien",
+        'say "hi"',
+    ]
