@@ -82,7 +82,8 @@ def test_many_targets_limits_idcg():
     idcg = sum(1 / np.log2(i + 2) for i in range(3))
     np.testing.assert_allclose(m["retrieval_normalized_dcg"], 1.0, rtol=1e-6)
     np.testing.assert_allclose(m["retrieval_recall"], 3 / 10)
-    assert m["retrieval_auroc"] == 1.0  # all-positive top-k
+    assert m["retrieval_auroc"] == 0.0  # all-positive: torchmetrics
+    # bails with 0.0 when either class is missing after truncation
     assert idcg > 0
 
 

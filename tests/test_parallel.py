@@ -315,3 +315,212 @@ def test_full_trainer_on_2d_mesh(tmp_path):
     result = trainer.fit()
     assert trainer.mesh.shape == {"data": 4, "model": 2}
     assert np.isfinite(result["val/retrieval_normalized_dcg"])
+
+
+# ---------------------------------------------------------------------------
+# round 2: sharded-mode feature parity (VERDICT.md next #6)
+# ---------------------------------------------------------------------------
+
+
+def test_sharded_full_logs_match_single_device(mesh2x4):
+    """Logit statistics + batch stats in sharded logs equal the single-chip
+    values (moments psum/min/max-reduced across the data axis)."""
+    cfg, params, table, batch = _make_setup()
+    ref_step = make_train_step(cfg)
+    rng = jax.random.key(7)
+    _, ref_logs = ref_step(init_train_state(cfg, params), jnp.asarray(table), batch, rng)
+
+    placed_table = pemb.place_table(table, mesh2x4)
+    sh_state = place_state(init_train_state(cfg, params), mesh2x4)
+    sh_batch = pmesh.shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh2x4)
+    _, sh_logs = make_sharded_train_step(cfg, mesh2x4)(
+        sh_state, placed_table, sh_batch, rng
+    )
+
+    stat_keys = [k for k in ref_logs if k.startswith(("logits/", "batch/"))]
+    assert stat_keys, "single-device logs must carry statistics"
+    for key in stat_keys:
+        assert key in sh_logs, f"sharded logs missing {key}"
+        np.testing.assert_allclose(
+            float(sh_logs[key]), float(ref_logs[key]), rtol=1e-4, atol=1e-5,
+            err_msg=key,
+        )
+
+
+def test_sharded_fast_step_matches_full_objective(mesh2x4):
+    from transformer_recommenders_tpu.parallel.train import make_sharded_loss
+
+    cfg, params, table, batch = _make_setup()
+    placed_table = pemb.place_table(table, mesh2x4)
+    sh_batch = pmesh.shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh2x4)
+    rng = jax.random.key(5)
+    full = make_sharded_loss(cfg, mesh2x4, full_logs=True)
+    fast = make_sharded_loss(cfg, mesh2x4, full_logs=False)
+    loss_full, _ = jax.jit(full)(params, placed_table, sh_batch, rng)
+    loss_fast, fast_logs = jax.jit(fast)(params, placed_table, sh_batch, rng)
+    np.testing.assert_allclose(float(loss_fast), float(loss_full), rtol=1e-5)
+    assert "batch/positive_non_zero" in fast_logs
+
+
+def test_scanned_sharded_matches_looped_sharded(mesh8x1):
+    """K scanned sharded steps == K looped sharded steps (scan dispatch
+    changes nothing but the host/program structure); and the first scanned
+    loss equals the single-device loss on the same batch."""
+    from transformer_recommenders_tpu.training.scan_steps import (
+        make_scanned_train_steps,
+        stack_batches,
+    )
+    from jax.sharding import NamedSharding
+
+    cfg, params, table, _ = _make_setup()
+    k, b, s = 3, 8, 4
+    rng_np = np.random.default_rng(11)
+    batches = []
+    for _ in range(k):
+        batches.append({
+            "history_item_idx": rng_np.integers(1, 41, size=(b, s)).astype(np.int32),
+            "pos_item_idx": rng_np.integers(0, 41, size=(b, s)).astype(np.int32),
+            "neg_item_idx": rng_np.integers(1, 41, size=(b, s)).astype(np.int32),
+        })
+    root_key = jax.random.key(3)
+    placed_table = pemb.place_table(table, mesh8x1)
+
+    # reference: K looped sharded steps with the same fold_in(step) keys
+    ref_state = place_state(init_train_state(cfg, params), mesh8x1)
+    ref_step = make_sharded_train_step(cfg, mesh8x1)
+    ref_losses = []
+    for i in range(k):
+        step_key = jax.random.fold_in(root_key, i)
+        sh_batch = pmesh.shard_batch(
+            {kk: jnp.asarray(v) for kk, v in batches[i].items()}, mesh8x1
+        )
+        ref_state, ref_logs = ref_step(ref_state, placed_table, sh_batch, step_key)
+        ref_losses.append(float(ref_logs[f"loss/{cfg.train_loss}"]))
+
+    # scanned sharded dispatch
+    sh_state = place_state(init_train_state(cfg, params), mesh8x1)
+    window = stack_batches(batches)
+    window_sharding = NamedSharding(mesh8x1, P(None, "data"))
+    window = {key: jax.device_put(v, window_sharding) for key, v in window.items()}
+    scan_fn = make_scanned_train_steps(cfg, mesh=mesh8x1)
+    sh_state, logs = scan_fn(sh_state, placed_table, window, root_key)
+
+    losses = np.asarray(logs[f"loss/{cfg.train_loss}"])
+    assert losses.shape == (k,)
+    np.testing.assert_allclose(losses, ref_losses, rtol=1e-5)
+
+    # single-device loss on batch 0 agrees with the scanned-sharded loss
+    sd_step = make_train_step(cfg)
+    _, sd_logs = sd_step(
+        init_train_state(cfg, params), jnp.asarray(table), batches[0],
+        jax.random.fold_in(root_key, 0),
+    )
+    np.testing.assert_allclose(
+        losses[0], float(sd_logs[f"loss/{cfg.train_loss}"]), rtol=1e-4
+    )
+
+    for a, b_ in zip(jax.tree.leaves(ref_state.params), jax.tree.leaves(sh_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-6)
+
+
+def test_orbax_roundtrip_of_sharded_state(mesh2x4, tmp_path):
+    """Orbax checkpoint of a mesh-placed TrainState restores exactly,
+    preserving shardings (multi-host readiness on the virtual mesh)."""
+    from transformer_recommenders_tpu.training import checkpoint as ckpt_lib
+
+    cfg, params, table, batch = _make_setup()
+    placed_table = pemb.place_table(table, mesh2x4)
+    state = place_state(init_train_state(cfg, params), mesh2x4)
+    sh_batch = pmesh.shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh2x4)
+    step = make_sharded_train_step(cfg, mesh2x4)
+    state, _ = step(state, placed_table, sh_batch, jax.random.key(0))
+
+    ckpt_lib.save_checkpoint(
+        tmp_path / "orb", state, epoch=0, metrics={"m": 1.0}, backend="orbax"
+    )
+    template = place_state(init_train_state(cfg, params), mesh2x4)
+    restored, meta = ckpt_lib.load_checkpoint(tmp_path / "orb", template)
+    assert meta["metrics"] == {"m": 1.0}
+    for a, b_ in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+    # device placement preserved for the restored params
+    leaf = jax.tree.leaves(restored.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+
+
+def test_orbax_reachable_from_train_config(tmp_path):
+    """checkpoint_backend='orbax' wired through Trainer.fit (VERDICT weak #8)."""
+    from transformer_recommenders_tpu.configs import SeqDataModuleConfig
+    from transformer_recommenders_tpu.data.module import SeqDataModule
+    from transformer_recommenders_tpu.training.trainer import Trainer
+
+    data_config = SeqDataModuleConfig(
+        data_dir=str(tmp_path / "data"),
+        dataset="synthetic",
+        embedder="hash",
+        embedding_dim=16,
+        max_seq_length=8,
+        batch_size=16,
+        synthetic_num_users=30,
+        synthetic_num_items=40,
+        synthetic_num_events=2000,
+    )
+    config = TrainConfig(
+        hidden_size=16,
+        num_hidden_layers=1,
+        num_attention_heads=4,
+        intermediate_size=16,
+        max_seq_length=8,
+        compute_dtype="float32",
+        max_epochs=1,
+        limit_train_batches=3,
+        eval_batch_size=16,
+        top_k=5,
+        log_every_n_steps=1000,
+        ckpt_dir=str(tmp_path / "ckpt"),
+        checkpoint_backend="orbax",
+    )
+    trainer = Trainer(config, SeqDataModule(data_config), log_dir=str(tmp_path / "lg"))
+    trainer.fit()
+    assert (tmp_path / "ckpt" / "last" / "orbax").exists()
+    # resume from the orbax checkpoint
+    trainer2 = Trainer(config, SeqDataModule(data_config), log_dir=str(tmp_path / "l2"))
+    meta = trainer2.restore(str(tmp_path / "ckpt" / "last"))
+    assert meta["step"] == int(trainer.state.step)
+    for a, b_ in zip(
+        jax.tree.leaves(trainer.state.params), jax.tree.leaves(trainer2.state.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_sharded_predict_matches_unsharded(mesh2x4):
+    """ShardedEvaluator.recommend_batch == Evaluator.recommend_batch."""
+    from transformer_recommenders_tpu.data.module import EvalArrays
+    from transformer_recommenders_tpu.training.evaluator import (
+        Evaluator,
+        ShardedEvaluator,
+    )
+
+    cfg, params, table, _ = _make_setup()
+    cfg = cfg.model_copy(update={"top_k": 7, "eval_batch_size": 8})
+    n_users, n_items = 10, 40
+    histories = RNG.integers(1, n_items + 1, size=(n_users, 6)).astype(np.int32)
+    arrays = EvalArrays(
+        user_ids=np.asarray([str(u) for u in range(n_users)], object),
+        histories=[h for h in histories],
+        history_window=histories[:, -4:],
+        target_lists=RNG.integers(1, n_items + 1, size=(n_users, 3)).astype(np.int32),
+        n_targets=np.full(n_users, 3, np.int32),
+    )
+
+    ev = Evaluator(cfg)
+    idx_ref, scores_ref = ev.recommend_batch(params, jnp.asarray(table), arrays)
+
+    placed_table = pemb.place_table(table, mesh2x4)
+    placed_items = pemb.place_table(table[1:], mesh2x4)
+    sev = ShardedEvaluator(cfg, mesh2x4, num_items=n_items)
+    idx_sh, scores_sh = sev.recommend_batch(
+        params, (placed_table, placed_items), arrays
+    )
+    np.testing.assert_array_equal(idx_sh, idx_ref)
+    np.testing.assert_allclose(scores_sh, scores_ref, rtol=1e-5, atol=1e-6)

@@ -163,6 +163,13 @@ class TrainConfig(LossConfig, ModelConfig):
     use_fused_loss: bool = True
     learning_rate: float = 0.001
     weight_decay: float = 0.01
+    # clip gradients by global norm before the optimizer update; None/0
+    # disables (parity: Lightning ``gradient_clip_val``, reference
+    # ``config.yaml:29``, defaults off)
+    gradient_clip_val: float | None = None
+    # apply the optimizer only every k micro-batches, accumulating grads
+    # (parity: Lightning ``accumulate_grad_batches``, config.yaml:30)
+    accumulate_grad_batches: int = 1
     max_epochs: int = 1
     max_steps: int = -1
     max_time_seconds: float = 4 * 3600.0
@@ -171,10 +178,26 @@ class TrainConfig(LossConfig, ModelConfig):
     monitor_mode: Literal["max", "min"] = "max"
     seed: int = 0
     log_every_n_steps: int = 50
+    # >0: ALSO run validation every N train steps mid-epoch (parity:
+    # Lightning ``val_check_interval``, config.yaml:33); epoch-end
+    # validation always runs
+    val_check_interval: int = -1
     limit_train_batches: int = -1
     limit_val_batches: int = -1
+    limit_test_batches: int = -1  # parity: Lightning limit_test_batches
+    limit_predict_batches: int = -1  # parity: Lightning limit_predict_batches
     eval_batch_size: int = 256
     ckpt_dir: str = "checkpoints"
+    # "npz": single-host flat leaves.  "orbax": sharded device arrays saved
+    # natively — the right backend for multi-host meshes (SURVEY.md §5.4)
+    checkpoint_backend: Literal["npz", "orbax"] = "npz"
+    # MLflow tracking beside the JSONL/CSV logs (parity: the reference's
+    # dual TensorBoard+MLflow loggers with run adoption + config artifact,
+    # xfmr_rec/trainer.py:37-82,419-463).  File-store layout readable by
+    # `mlflow ui`; adopts MLFLOW_RUN_ID when set.  None dir -> <log_dir>/mlruns
+    use_mlflow: bool = True
+    mlflow_dir: str | None = None
+    mlflow_experiment: str = "transformer-recommenders-tpu"
     # when set, capture a jax.profiler trace of training steps into this dir
     # (view with tensorboard/xprof); SURVEY.md §5.1
     profile_dir: str | None = None

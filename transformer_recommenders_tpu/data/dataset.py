@@ -136,26 +136,42 @@ class SeqData:
             if hi > lo:
                 positives[i] = hist[pos_positions[lo + rng.integers(hi - lo)]]
 
-        # negatives outside the FULL history
+        # negatives outside the FULL history (reference data.py:723-747):
+        # uniform without replacement from the complement; when the
+        # complement is empty fall back to ALL items (still without
+        # replacement when possible); with replacement only when the
+        # candidate set is smaller than the sequence.
         hist_set = np.unique(hist)
         n_candidates = self.num_items - len(hist_set)
         if n_candidates <= 0:
-            negatives = rng.integers(1, self.num_items + 1, size=seq_len).astype(np.int32)
+            if self.num_items >= seq_len:
+                negatives = (
+                    rng.choice(self.num_items, size=seq_len, replace=False) + 1
+                ).astype(np.int32)
+            else:
+                negatives = rng.integers(
+                    1, self.num_items + 1, size=seq_len
+                ).astype(np.int32)
         elif n_candidates < seq_len:
             complement = np.setdiff1d(
                 np.arange(1, self.num_items + 1, dtype=np.int32), hist_set
             )
             negatives = rng.choice(complement, size=seq_len, replace=True)
         else:
-            # rejection sampling == uniform w/o replacement from the complement
+            # true rejection sampling: keep the FIRST occurrence of each
+            # accepted draw (i.i.d. uniform draws deduplicated in draw
+            # order == uniform without replacement from the complement).
+            # NOTE: np.unique alone sorts — truncating a sorted array
+            # would bias toward small indices, so order must be restored
+            # from the first-occurrence positions.
             negatives = np.empty(0, np.int32)
             while len(negatives) < seq_len:
                 draw = rng.integers(1, self.num_items + 1, size=4 * seq_len + 16)
-                draw = draw[~np.isin(draw, hist_set)]
-                negatives = np.unique(
-                    np.concatenate([negatives, draw.astype(np.int32)])
-                )[: seq_len * 2]
-            negatives = rng.permutation(negatives)[:seq_len].astype(np.int32)
+                draw = draw[~np.isin(draw, hist_set)].astype(np.int32)
+                cat = np.concatenate([negatives, draw])
+                _, first = np.unique(cat, return_index=True)
+                negatives = cat[np.sort(first)]
+            negatives = negatives[:seq_len]
 
         return hist[positions], positives, negatives
 

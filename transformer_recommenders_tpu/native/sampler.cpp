@@ -141,9 +141,25 @@ void sample_batch(const int32_t* values, const uint8_t* labels,
       return std::binary_search(sorted_hist.begin(), sorted_hist.end(), v);
     };
     if (complement <= 0) {
-      for (int64_t i = 0; i < seq_len; ++i)
-        neg_row[i] =
-            static_cast<int32_t>(rng.bounded(static_cast<uint64_t>(num_items))) + 1;
+      // history covers the catalog: fall back to ALL items, without
+      // replacement when possible (reference data.py:741-747 falls back to
+      // all_idx and only uses replace=True when candidates < seq_len).
+      if (num_items >= seq_len) {
+        chosen.clear();
+        for (int64_t j = num_items - seq_len; j < num_items; ++j) {  // Floyd
+          int32_t t = static_cast<int32_t>(rng.bounded(static_cast<uint64_t>(j + 1)));
+          if (std::find(chosen.begin(), chosen.end(), t) != chosen.end()) {
+            chosen.push_back(static_cast<int32_t>(j));
+          } else {
+            chosen.push_back(t);
+          }
+        }
+        for (int64_t i = 0; i < seq_len; ++i) neg_row[i] = chosen[static_cast<size_t>(i)] + 1;
+      } else {
+        for (int64_t i = 0; i < seq_len; ++i)
+          neg_row[i] =
+              static_cast<int32_t>(rng.bounded(static_cast<uint64_t>(num_items))) + 1;
+      }
     } else if (complement < seq_len) {
       // with replacement from the complement (reference data.py:745-747)
       for (int64_t i = 0; i < seq_len; ++i) {

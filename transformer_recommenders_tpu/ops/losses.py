@@ -241,6 +241,82 @@ def compute_losses(
     return out
 
 
+def logits_statistics_moments(
+    cfg: LossConfig,
+    query: jax.Array,
+    pos_embed: jax.Array,
+    neg_pool: jax.Array,
+    row_valid: jax.Array,
+    neg_valid: jax.Array,
+) -> dict[str, jax.Array]:
+    """Raw reduction moments behind :func:`logits_statistics`.
+
+    Split out so the sharded train step can reduce the moments across the
+    data axis (psum for sums/counts, pmin/pmax for extrema) and apply
+    :func:`finish_logits_statistics` to get GLOBAL statistics identical to
+    a single-chip run (the reference logs these every step,
+    ``xfmr_rec/trainer.py:250-253``).
+
+    ``*_sum``/``*_sumsq``/``*_n``/``density_num``/``rows`` are additive
+    across batch shards; ``*_min``/``*_max`` reduce with min/max.
+    """
+    pos, neg = compute_pair_logits(query, pos_embed, neg_pool, similarity="dot")
+    mask = negative_mask(cfg, pos, neg, neg_valid)
+    rowv = row_valid.astype(jnp.float32)
+    mask = mask & row_valid.astype(jnp.bool_)[:, None]
+    maskf = mask.astype(jnp.float32)
+
+    # density denominator: the reference's ``C - 1`` (losses.py:386-389)
+    # where C = 1 + pool and the pool holds every attention-valid position
+    # (models.py:404-411) — i.e. exactly sum(neg_valid) here.
+    n_valid_neg = jnp.sum(neg_valid.astype(jnp.float32))
+    num_negatives = n_valid_neg
+    if cfg.num_hard_negatives > 0:
+        num_negatives = jnp.minimum(num_negatives, cfg.num_hard_negatives)
+    per_row_density = jnp.sum(maskf, axis=1) / (num_negatives + 1e-9)
+
+    return {
+        "density_num": jnp.sum(per_row_density * rowv),
+        "rows": jnp.sum(rowv),
+        "pos_sum": jnp.sum(pos * rowv),
+        "pos_sumsq": jnp.sum(jnp.square(pos) * rowv),
+        "pos_n": jnp.sum(rowv),
+        "pos_min": jnp.min(jnp.where(rowv > 0, pos, jnp.inf)),
+        "pos_max": jnp.max(jnp.where(rowv > 0, pos, -jnp.inf)),
+        "neg_sum": jnp.sum(neg * maskf),
+        "neg_sumsq": jnp.sum(jnp.square(neg) * maskf),
+        "neg_n": jnp.sum(maskf),
+        "neg_min": jnp.min(jnp.where(mask, neg, jnp.inf)),
+        "neg_max": jnp.max(jnp.where(mask, neg, -jnp.inf)),
+    }
+
+
+def finish_logits_statistics(m: dict[str, jax.Array]) -> dict[str, jax.Array]:
+    """Moments -> the reference's statistics dict (unbiased std, torch
+    default).  See :func:`logits_statistics_moments`."""
+
+    def _stats(prefix: str) -> dict[str, jax.Array]:
+        n = m[f"{prefix}_n"]
+        safe_n = jnp.clip(n, min=1.0)
+        mean = m[f"{prefix}_sum"] / safe_n
+        var = jnp.clip(
+            m[f"{prefix}_sumsq"] - n * jnp.square(mean), min=0.0
+        ) / jnp.clip(n - 1.0, min=1.0)
+        return {
+            f"logits/{prefix}/mean": mean,
+            f"logits/{prefix}/std": jnp.sqrt(var),
+            f"logits/{prefix}/min": m[f"{prefix}_min"],
+            f"logits/{prefix}/max": m[f"{prefix}_max"],
+        }
+
+    stats = {
+        "logits/neg/density": m["density_num"] / jnp.clip(m["rows"], min=1.0)
+    }
+    stats |= _stats("pos")
+    stats |= _stats("neg")
+    return stats
+
+
 def logits_statistics(
     cfg: LossConfig,
     query: jax.Array,
@@ -252,41 +328,13 @@ def logits_statistics(
     """Monitoring statistics over positive/negative logits.
 
     Parity: ``xfmr_rec/losses.py:375-405`` (LogitsStatistics): negative
-    density plus mean/std(min/max) of positive and negative logits.  Std is
+    density plus mean/std/min/max of positive and negative logits.  Std is
     unbiased (torch default).  Restricted to valid rows/columns exactly as
     the reference's filtered tensors are.
     """
-    pos, neg = compute_pair_logits(query, pos_embed, neg_pool, similarity="dot")
-    mask = negative_mask(cfg, pos, neg, neg_valid)
-    rowv = row_valid.astype(jnp.float32)
-    mask = mask & row_valid.astype(jnp.bool_)[:, None]
-
-    n_valid_neg = jnp.sum(neg_valid.astype(jnp.float32))
-    num_negatives = n_valid_neg  # pool size; the reference's C-1 with C=1+N
-    if cfg.num_hard_negatives > 0:
-        num_negatives = jnp.minimum(num_negatives, cfg.num_hard_negatives)
-    per_row_density = jnp.sum(mask, axis=1) / (num_negatives + 1e-9)
-    density = jnp.sum(per_row_density * rowv) / jnp.clip(jnp.sum(rowv), min=1.0)
-
-    def _masked_stats(values: jax.Array, weights: jax.Array, prefix: str):
-        w = weights.astype(jnp.float32)
-        n = jnp.sum(w)
-        safe_n = jnp.clip(n, min=1.0)
-        mean = jnp.sum(values * w) / safe_n
-        var = jnp.sum(jnp.square(values - mean) * w) / jnp.clip(n - 1.0, min=1.0)
-        vmin = jnp.min(jnp.where(w > 0, values, jnp.inf))
-        vmax = jnp.max(jnp.where(w > 0, values, -jnp.inf))
-        return {
-            f"logits/{prefix}/mean": mean,
-            f"logits/{prefix}/std": jnp.sqrt(var),
-            f"logits/{prefix}/min": vmin,
-            f"logits/{prefix}/max": vmax,
-        }
-
-    stats = {"logits/neg/density": density}
-    stats |= _masked_stats(pos, rowv, "pos")
-    stats |= _masked_stats(neg, mask, "neg")
-    return stats
+    return finish_logits_statistics(
+        logits_statistics_moments(cfg, query, pos_embed, neg_pool, row_valid, neg_valid)
+    )
 
 
 # ---------------------------------------------------------------------------

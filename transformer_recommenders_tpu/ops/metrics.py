@@ -25,7 +25,8 @@ torchmetrics fidelity notes (golden tests in tests/test_metrics.py):
 - ``retrieval_average_precision`` follows torchmetrics' formulation:
   mean over the j-th hit within top_k of ``j / position_j`` (1-based).
 - ``retrieval_auroc`` is computed over the top_k-truncated list; degenerate
-  lists (no positives) give 0.0, all-positives give 1.0.
+  lists (no positives OR all positives) give 0.0, exactly like
+  torchmetrics' missing-class bail-out.
 - ``retrieval_normalized_dcg`` uses binary gains; ideal DCG over
   ``min(top_k, n_targets)`` ones.
 """
@@ -83,17 +84,17 @@ def retrieval_metrics(
 
     # AUROC over the top_k-truncated list: fraction of (pos, neg) pairs
     # correctly ordered.  Scores strictly decrease with position, so a pair
-    # is correct iff the positive precedes the negative.
+    # is correct iff the positive precedes the negative.  DEGENERATE lists
+    # return 0.0 — torchmetrics retrieval_auroc bails with 0.0 whenever
+    # either class is absent after truncation (`(0 not in target) or
+    # (1 not in target)`), INCLUDING the all-positives case (cross-checked
+    # by tests/test_metrics_torchmetrics_golden.py).
     negs_after = jnp.sum(
         rel * jnp.cumsum(1.0 - rel[:, ::-1], axis=1)[:, ::-1], axis=1
     )  # for each positive, count negatives at later positions
     n_neg = k - hits
     pairs = hits * n_neg
-    auroc = jnp.where(
-        pairs > 0,
-        negs_after / jnp.clip(pairs, min=1.0),
-        jnp.where(any_hit, 1.0, 0.0),  # all-pos -> 1.0; no-pos -> 0.0
-    )
+    auroc = jnp.where(pairs > 0, negs_after / jnp.clip(pairs, min=1.0), 0.0)
 
     return {
         "retrieval_normalized_dcg": ndcg,

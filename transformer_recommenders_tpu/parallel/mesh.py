@@ -27,9 +27,20 @@ from transformer_recommenders_tpu.params import DATA_AXIS, MODEL_AXIS
 
 def maybe_initialize_distributed() -> None:
     """Multi-host bring-up: call ``jax.distributed.initialize`` when the
-    standard coordinator env vars are present (no-op on a single host)."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+    standard coordinator env var is present (no-op on a single host).
+
+    Decided from the environment ALONE — ``jax.process_count()`` /
+    ``jax.devices()`` would themselves initialize the local-only backend,
+    after which distributed init is too late.  Must therefore run at
+    process start (the CLI entrypoints call it first), before any other
+    JAX API touches the backend.
+    """
+    if not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        return
+    try:
         jax.distributed.initialize()
+    except RuntimeError:
+        pass  # already initialized (idempotent re-entry)
 
 
 def create_mesh(

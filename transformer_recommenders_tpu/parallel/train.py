@@ -55,12 +55,18 @@ def _sharded_lookup_local(table_shard: jax.Array, idx: jax.Array) -> jax.Array:
     return jax.lax.psum(vals, MODEL_AXIS)
 
 
-def make_sharded_train_step(config: TrainConfig, mesh: Mesh):
-    """Build ``step(state, table, batch, rng) -> (state, logs)`` jitted over
-    the mesh.  ``table`` must be row-sharded with padded rows
-    (``parallel.embedding.place_table``); ``batch`` batch-dim sharded.
+def make_sharded_loss(config: TrainConfig, mesh: Mesh, *, full_logs: bool = True):
+    """``loss(params, table, batch, rng) -> (objective, logs)`` over the
+    mesh — the differentiable core of :func:`make_sharded_train_step`, also
+    used directly by the scanned multi-step dispatcher
+    (``training/scan_steps.py``: lax.scan over K sharded steps in one jit).
+
+    ``full_logs=False`` is the hot-path variant (objective only, like the
+    single-device fast step); ``full_logs=True`` additionally reduces every
+    loss head, batch statistics AND the logits statistics across the data
+    axis, so sharded logs carry the same keys as a single-chip run
+    (reference logs all of these every step, ``xfmr_rec/trainer.py:236-264``).
     """
-    opt = make_optimizer(config)
     train_loss = config.train_loss
 
     def local_loss(params, table_shard, batch, rng):
@@ -98,6 +104,35 @@ def make_sharded_train_step(config: TrainConfig, mesh: Mesh):
         neg_pool = jax.lax.all_gather(embeds["neg_pool"], DATA_AXIS, tiled=True)
         neg_valid = jax.lax.all_gather(embeds["neg_valid"], DATA_AXIS, tiled=True)
 
+        from transformer_recommenders_tpu.training.train_state import (
+            _fused_objective,
+        )
+
+        # fused Pallas objective when a kernel covers the configured loss
+        # (identical value, no HBM logit matrix); XLA heads stay for logging
+        fused = _fused_objective(config, embeds, neg_pool, neg_valid)
+
+        if not full_logs:
+            objective = fused
+            if objective is None:
+                objective = loss_lib.compute_losses(
+                    config,
+                    embeds["query"],
+                    embeds["pos_embed"],
+                    neg_pool,
+                    embeds["row_valid"],
+                    neg_valid,
+                    loss_names=(train_loss,),
+                )[train_loss]
+            objective = jax.lax.psum(objective, DATA_AXIS)
+            pos_nz = jax.lax.psum(
+                jnp.sum(embeds["positive_mask"].astype(jnp.float32)), DATA_AXIS
+            )
+            return objective, {
+                f"loss/{train_loss}": objective,
+                "batch/positive_non_zero": pos_nz,
+            }
+
         losses = loss_lib.compute_losses(
             config,
             embeds["query"],
@@ -106,13 +141,6 @@ def make_sharded_train_step(config: TrainConfig, mesh: Mesh):
             embeds["row_valid"],
             neg_valid,
         )
-        from transformer_recommenders_tpu.training.train_state import (
-            _fused_objective,
-        )
-
-        # fused Pallas objective when a kernel covers the configured loss
-        # (identical value, no HBM logit matrix); XLA heads stay for logging
-        fused = _fused_objective(config, embeds, neg_pool, neg_valid)
         if fused is not None:
             losses[train_loss] = fused
         # global sums -> replicated logs
@@ -123,11 +151,42 @@ def make_sharded_train_step(config: TrainConfig, mesh: Mesh):
         attn_nz = jax.lax.psum(
             jnp.sum(embeds["attention_mask"].astype(jnp.float32)), DATA_AXIS
         )
+        # logits statistics: reduce raw moments across the batch shards,
+        # then finish — identical values to a single-chip step
+        moments = loss_lib.logits_statistics_moments(
+            config,
+            embeds["query"],
+            embeds["pos_embed"],
+            neg_pool,
+            embeds["row_valid"],
+            neg_valid,
+        )
+        reduced = {}
+        for key, value in moments.items():
+            # extrema reduce via all_gather+min/max (scalars, so the gather
+            # is tiny; lax.pmin/pmax lack a shard_map lowering here)
+            if key.endswith("_min"):
+                reduced[key] = jnp.min(jax.lax.all_gather(value, DATA_AXIS))
+            elif key.endswith("_max"):
+                reduced[key] = jnp.max(jax.lax.all_gather(value, DATA_AXIS))
+            else:
+                reduced[key] = jax.lax.psum(value, DATA_AXIS)
+        stats = loss_lib.finish_logits_statistics(reduced)
+
+        attn = embeds["attention_mask"]
+        global_batch = jnp.float32(attn.shape[0]) * mesh.shape[DATA_AXIS]
+        numel = jnp.float32(attn.size) * mesh.shape[DATA_AXIS]
         logs = {f"loss/{k}": v for k, v in losses.items()}
         logs |= {f"loss/{k}Mean": v / (pos_nz + 1e-9) for k, v in losses.items()}
+        logs |= stats
         logs |= {
-            "batch/positive_non_zero": pos_nz,
+            "batch/size": global_batch,
+            "batch/seq_len": jnp.float32(attn.shape[1]),
+            "batch/numel": numel,
             "batch/attention_non_zero": attn_nz,
+            "batch/attention_density": attn_nz / (numel + 1e-9),
+            "batch/positive_non_zero": pos_nz,
+            "batch/positive_density": pos_nz / (attn_nz + 1e-9),
         }
         return losses[train_loss], logs
 
@@ -144,6 +203,18 @@ def make_sharded_train_step(config: TrainConfig, mesh: Mesh):
             out_specs=(P(), P()),  # loss + logs replicated
             check_vma=False,
         )(params, table, batch, rng)
+
+    return sharded_loss
+
+
+def make_sharded_train_step(config: TrainConfig, mesh: Mesh, *, full_logs: bool = True):
+    """Build ``step(state, table, batch, rng) -> (state, logs)`` jitted over
+    the mesh.  ``table`` must be row-sharded with padded rows
+    (``parallel.embedding.place_table``); ``batch`` batch-dim sharded.
+    See :func:`make_sharded_loss` for the ``full_logs`` semantics.
+    """
+    opt = make_optimizer(config)
+    sharded_loss = make_sharded_loss(config, mesh, full_logs=full_logs)
 
     @jax.jit
     def train_step(state: TrainState, table, batch, rng):

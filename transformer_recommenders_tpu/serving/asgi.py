@@ -75,13 +75,23 @@ class JSONApp:
 
         t0 = time.perf_counter()
         status, payload = await self._dispatch_inner(path, body)
-        self.request_counts[(path, status)] = (
-            self.request_counts.get((path, status), 0) + 1
+        # counters key on REGISTERED routes only: arbitrary client paths
+        # all bucket under "unknown" (an unbounded label set would grow
+        # memory forever on a 0.0.0.0-bound server and lets clients inject
+        # exposition-format metacharacters)
+        label = path if (path in self.routes or path == "metrics") else "unknown"
+        self.request_counts[(label, status)] = (
+            self.request_counts.get((label, status), 0) + 1
         )
-        self.request_seconds[path] = self.request_seconds.get(path, 0.0) + (
+        self.request_seconds[label] = self.request_seconds.get(label, 0.0) + (
             time.perf_counter() - t0
         )
         return status, payload
+
+    @staticmethod
+    def _escape_label(value: str) -> str:
+        """Prometheus text-format label escaping: backslash, quote, newline."""
+        return value.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
 
     def metrics_text(self) -> str:
         """Prometheus text exposition of the request counters."""
@@ -89,12 +99,14 @@ class JSONApp:
             "# TYPE xrt_requests_total counter",
         ]
         for (path, status), n in sorted(self.request_counts.items()):
+            route = self._escape_label(path)
             lines.append(
-                f'xrt_requests_total{{route="{path}",status="{status}"}} {n}'
+                f'xrt_requests_total{{route="{route}",status="{status}"}} {n}'
             )
         lines.append("# TYPE xrt_request_seconds_total counter")
         for path, secs in sorted(self.request_seconds.items()):
-            lines.append(f'xrt_request_seconds_total{{route="{path}"}} {secs:.6f}')
+            route = self._escape_label(path)
+            lines.append(f'xrt_request_seconds_total{{route="{route}"}} {secs:.6f}')
         return "\n".join(lines) + "\n"
 
     async def _dispatch_inner(self, path: str, body: bytes) -> tuple[int, Any]:
@@ -177,11 +189,34 @@ def serve(
     with ``SO_REUSEPORT`` (kernel load-balancing) — the stdlib equivalent
     of the reference's BentoML ``workers="cpu_count"``
     (``xfmr_rec/service.py:206``).
+
+    TPU SAFETY: a TPU chip can be opened by exactly ONE process.  The app
+    has already initialized JAX (the model/index loaded at service
+    construction), so forked children would inherit and re-open the same
+    device — undefined behavior on exactly the hardware this framework
+    targets.  Multi-worker serving therefore requires a CPU JAX backend
+    (set ``JAX_PLATFORMS=cpu``, or point the index backend at "host");
+    with an accelerator visible this raises instead of corrupting the
+    device state.
     """
     import http.server
     import os
     import socket
     import socketserver
+
+    if workers > 1:
+        import jax
+
+        backend = jax.default_backend()
+        if backend != "cpu":
+            msg = (
+                f"workers={workers} forks processes, but the JAX backend is "
+                f"{backend!r} and an accelerator cannot be shared across "
+                "processes. Run with workers=1 (device-owning process), or "
+                "serve workers on CPU (JAX_PLATFORMS=cpu) behind a single "
+                "device-owning embedder."
+            )
+            raise RuntimeError(msg)
 
     class Bridge(http.server.BaseHTTPRequestHandler):
         def _respond(self) -> None:

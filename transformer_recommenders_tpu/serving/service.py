@@ -97,9 +97,19 @@ class MicroBatcher:
     batches even when clients send single queries."""
 
     def __init__(self, fn, *, max_batch: int = 64, window_ms: float = 2.0) -> None:
+        import threading
+
         self._fn = fn
         self._max_batch = max_batch
         self._window = window_ms / 1000.0
+        # THREAD SAFETY: the threaded HTTP server runs each request on its
+        # own thread with its own event loop (asgi.serve), so requests
+        # coalescing within one window live on DIFFERENT loops.  The queue
+        # is lock-guarded and each future is resolved on ITS OWN loop via
+        # call_soon_threadsafe — a plain fut.set_result from another thread
+        # would never wake the owning loop's selector and could hang the
+        # request forever.
+        self._lock = threading.Lock()
         self._queue: list = []
         self._flusher = None
 
@@ -108,30 +118,44 @@ class MicroBatcher:
 
         loop = asyncio.get_running_loop()
         fut = loop.create_future()
-        self._queue.append((item, fut))
-        if len(self._queue) >= self._max_batch:
+        with self._lock:
+            self._queue.append((item, fut, loop))
+            flush_now = len(self._queue) >= self._max_batch
+            if not flush_now and self._flusher is None:
+                # timer on THIS loop; it stays alive awaiting fut.  A stale
+                # timer firing after a max-batch flush finds an empty queue
+                # and no-ops (cross-thread TimerHandle.cancel is unsafe).
+                self._flusher = loop.call_later(self._window, self._flush)
+        if flush_now:
             self._flush()
-        elif self._flusher is None:
-            self._flusher = loop.call_later(self._window, self._flush)
         return await fut
 
     def _flush(self) -> None:
-        if self._flusher is not None:
-            self._flusher.cancel()
+        with self._lock:
+            batch, self._queue = self._queue, []
             self._flusher = None
-        batch, self._queue = self._queue, []
         if not batch:
             return
-        items = [item for item, _ in batch]
+        items = [item for item, _, _ in batch]
         try:
             results = self._fn(items)
-            for (_, fut), res in zip(batch, results):
-                if not fut.done():
-                    fut.set_result(res)
+            error = None
         except Exception as exc:  # noqa: BLE001 — propagate to every waiter
-            for _, fut in batch:
-                if not fut.done():
-                    fut.set_exception(exc)
+            results, error = [None] * len(batch), exc
+
+        def resolve(fut, res) -> None:
+            if fut.done():
+                return
+            if error is not None:
+                fut.set_exception(error)
+            else:
+                fut.set_result(res)
+
+        for (_, fut, floop), res in zip(batch, results):
+            try:
+                floop.call_soon_threadsafe(resolve, fut, res)
+            except RuntimeError:
+                pass  # owning loop already closed (client gone)
 
 
 class ModelService:

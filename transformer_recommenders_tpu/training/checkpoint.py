@@ -81,7 +81,11 @@ def latest_checkpoint(ckpt_dir: str | pathlib.Path) -> pathlib.Path | None:
     if not ckpt_dir.exists():
         return None
     candidates = sorted(
-        (p for p in ckpt_dir.iterdir() if (p / "state.npz").exists()),
+        (
+            p
+            for p in ckpt_dir.iterdir()
+            if (p / "state.npz").exists() or (p / "orbax").exists()
+        ),
         key=lambda p: p.stat().st_mtime,
     )
     return candidates[-1] if candidates else None

@@ -71,10 +71,10 @@ def make_sharded_eval_step(config: TrainConfig, mesh):
     from transformer_recommenders_tpu.parallel.embedding import sharded_table_lookup
     from transformer_recommenders_tpu.parallel.topk_sharded import sharded_topk
 
-    @ft.partial(jax.jit, static_argnames=("num_items",))
+    @ft.partial(jax.jit, static_argnames=("num_items", "return_recs"))
     def eval_step(
         params, table_sharded, items_sharded, history_window, history_full,
-        targets, n_targets, *, num_items: int,
+        targets, n_targets, *, num_items: int, return_recs: bool = False,
     ):
         lookup = lambda idx: sharded_table_lookup(  # noqa: E731
             table_sharded, idx, mesh
@@ -104,7 +104,10 @@ def make_sharded_eval_step(config: TrainConfig, mesh):
             (top_idx[:, :, None] == targets[:, None, :]) & (targets[:, None, :] > 0),
             axis=-1,
         )
-        return retrieval_metrics(rel, n_targets, config.top_k)
+        metrics = retrieval_metrics(rel, n_targets, config.top_k)
+        if return_recs:
+            return metrics, top_idx, top_scores
+        return metrics
 
     return eval_step
 
@@ -143,6 +146,27 @@ class ShardedEvaluator:
                 )
         denom = max(count, 1.0)
         return {f"{stage}/{k}": v / denom for k, v in sums.items()}
+
+    def recommend_batch(
+        self, params, tables, arrays: EvalArrays
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Sharded predict path (parity: ``xfmr_rec/trainer.py:307-316``):
+        column-sharded top-k over the mesh, history excluded.  Same
+        contract as ``Evaluator.recommend_batch``."""
+        table_sharded, items_sharded = tables
+        b = self.config.eval_batch_size
+        u = len(arrays)
+        all_idx, all_scores = [], []
+        for lo in range(0, u, b):
+            hw, hf, tg, nt = arrays.batch(lo, min(lo + b, u), b)
+            _, top_idx, top_scores = self._eval_step(
+                params, table_sharded, items_sharded, hw, hf, tg, nt,
+                num_items=self.num_items, return_recs=True,
+            )
+            n_real = min(b, u - lo)
+            all_idx.append(np.asarray(top_idx)[:n_real])
+            all_scores.append(np.asarray(top_scores)[:n_real])
+        return np.concatenate(all_idx), np.concatenate(all_scores)
 
 
 class Evaluator:

@@ -16,7 +16,18 @@ import time
 
 
 class MetricsLogger:
-    def __init__(self, log_dir: str | pathlib.Path, *, echo: bool = True) -> None:
+    def __init__(
+        self,
+        log_dir: str | pathlib.Path,
+        *,
+        echo: bool = True,
+        sinks: list | None = None,
+    ) -> None:
+        """``sinks``: additional logger adapters, each with
+        ``log(metrics, *, step)`` and ``close()`` — the seam the reference
+        fills with its dual TensorBoard/MLflow loggers
+        (``xfmr_rec/trainer.py:419-463``); the Trainer plugs an
+        :class:`~..training.mlflow_logging.MLflowRun` in here."""
         self.log_dir = pathlib.Path(log_dir)
         self.log_dir.mkdir(parents=True, exist_ok=True)
         self._jsonl = open(self.log_dir / "metrics.jsonl", "a", buffering=1)
@@ -25,6 +36,7 @@ class MetricsLogger:
         self._echo = echo
         self._t0 = time.time()
         self._tb = _maybe_tensorboard(self.log_dir)
+        self.sinks = list(sinks or [])
 
     def log(self, metrics: dict[str, float], *, step: int, prefix: str = "") -> None:
         record = {
@@ -34,6 +46,9 @@ class MetricsLogger:
         }
         self._jsonl.write(json.dumps(record) + "\n")
         self._write_csv(record)
+        scalars = {k: v for k, v in record.items() if k not in {"step", "time"}}
+        for sink in self.sinks:
+            sink.log(scalars, step=step)
         if self._tb is not None:
             for k, v in record.items():
                 if k not in {"step", "time"}:
@@ -56,6 +71,8 @@ class MetricsLogger:
 
     def close(self) -> None:
         self._jsonl.close()
+        for sink in self.sinks:
+            sink.close()
 
 
 def _maybe_tensorboard(log_dir: pathlib.Path):

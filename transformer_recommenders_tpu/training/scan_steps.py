@@ -25,41 +25,59 @@ from transformer_recommenders_tpu.training.train_state import (
 )
 
 
-def make_scanned_train_steps(config: TrainConfig, *, with_logs: bool = True):
+def make_scanned_train_steps(
+    config: TrainConfig, *, with_logs: bool = True, mesh=None
+):
     """Build ``steps(state, table, batches, rng) -> (state, logs)`` where
     ``batches`` holds arrays with a leading steps dimension ``(K, B, S)``.
 
     Logs are per-step arrays of shape (K,) (selected loss + positives
     count); the full per-loss log dict of the single-step path is traded
     for dispatch efficiency — the trainer logs the window means.
+
+    With ``mesh``, each scanned step runs the sharded loss (global negative
+    pool over the data axis, row-sharded table lookups) — identical
+    objective to the single-chip scan; ``batches`` must be sharded
+    ``P(None, 'data')`` and ``table`` row-sharded.
     """
     opt = make_optimizer(config)
     train_loss = config.train_loss
     from transformer_recommenders_tpu.training.train_state import _fused_objective
 
-    def loss_fn(params, table, batch, rng):
-        embeds = compute_embeds(
-            params,
-            config,
-            table,
-            batch["history_item_idx"],
-            batch["pos_item_idx"],
-            batch["neg_item_idx"],
-            dropout_rng=rng,
-        )
-        loss = _fused_objective(config, embeds)
-        if loss is None:
-            loss = loss_lib.compute_losses(
+    if mesh is not None:
+        from transformer_recommenders_tpu.parallel.train import make_sharded_loss
+
+        sharded = make_sharded_loss(config, mesh, full_logs=False)
+
+        def loss_fn(params, table, batch, rng):
+            loss, logs = sharded(params, table, batch, rng)
+            return loss, logs["batch/positive_non_zero"]
+
+    else:
+
+        def loss_fn(params, table, batch, rng):
+            embeds = compute_embeds(
+                params,
                 config,
-                embeds["query"],
-                embeds["pos_embed"],
-                embeds["neg_pool"],
-                embeds["row_valid"],
-                embeds["neg_valid"],
-                loss_names=(train_loss,),
-            )[train_loss]
-        pos_nz = jnp.sum(embeds["positive_mask"].astype(jnp.float32))
-        return loss, pos_nz
+                table,
+                batch["history_item_idx"],
+                batch["pos_item_idx"],
+                batch["neg_item_idx"],
+                dropout_rng=rng,
+            )
+            loss = _fused_objective(config, embeds)
+            if loss is None:
+                loss = loss_lib.compute_losses(
+                    config,
+                    embeds["query"],
+                    embeds["pos_embed"],
+                    embeds["neg_pool"],
+                    embeds["row_valid"],
+                    embeds["neg_valid"],
+                    loss_names=(train_loss,),
+                )[train_loss]
+            pos_nz = jnp.sum(embeds["positive_mask"].astype(jnp.float32))
+            return loss, pos_nz
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 

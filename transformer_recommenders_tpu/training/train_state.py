@@ -105,9 +105,16 @@ def _fused_objective(config: TrainConfig, embeds, neg_pool=None, neg_valid=None)
 
 
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
-    return optax.adamw(
-        config.learning_rate, weight_decay=config.weight_decay
-    )
+    """AdamW (parity: ``xfmr_rec/trainer.py:327-332``) with the Lightning
+    trainer knobs the reference exposes but defaults off
+    (``config.yaml:29-30``): global-norm clipping and grad accumulation."""
+    clip = getattr(config, "gradient_clip_val", None)
+    adamw = optax.adamw(config.learning_rate, weight_decay=config.weight_decay)
+    opt = optax.chain(optax.clip_by_global_norm(clip), adamw) if clip else adamw
+    accumulate = getattr(config, "accumulate_grad_batches", 1)
+    if accumulate > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=accumulate)
+    return opt
 
 
 def init_train_state(config: TrainConfig, params: Any) -> TrainState:

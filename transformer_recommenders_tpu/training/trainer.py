@@ -45,7 +45,19 @@ class Trainer:
         self.config = TrainConfig.model_validate(config)
         self.datamodule = datamodule
         self.log_dir = pathlib.Path(log_dir or "runs/default")
-        self.logger = MetricsLogger(self.log_dir)
+        sinks = []
+        self.mlflow_run = None
+        if self.config.use_mlflow:
+            from transformer_recommenders_tpu.training.mlflow_logging import (
+                MLflowRun,
+            )
+
+            self.mlflow_run = MLflowRun(
+                self.config.mlflow_dir or self.log_dir / "mlruns",
+                experiment_name=self.config.mlflow_experiment,
+            )
+            sinks.append(self.mlflow_run)
+        self.logger = MetricsLogger(self.log_dir, sinks=sinks)
         self.model: RecommenderModel | None = None
         self.state: TrainState | None = None
         self.mesh = None
@@ -53,6 +65,7 @@ class Trainer:
         self._train_step = None
         self._fast_step = None
         self._host_step: int | None = None
+        self._midepoch_validate = None
         self._evaluator: Evaluator | None = None
         self._sharded_evaluator = None
         self._placed_items = None
@@ -159,6 +172,13 @@ class Trainer:
                 {"model": cfg.model_dump(), "data": dm.config.model_dump()}, indent=2
             )
         )
+        if self.mlflow_run is not None:
+            # hyperparameters + full config as a run artifact (parity:
+            # LoggerSaveConfigCallback, xfmr_rec/trainer.py:37-82)
+            self.mlflow_run.log_params(
+                {"model": cfg.model_dump(), "data": dm.config.model_dump()}
+            )
+            self.mlflow_run.log_artifact(best_ckpt.parent / "config.json")
         last_val: dict[str, float] = {}
         root_key = jax.random.key(cfg.seed)
         t_start = time.time()
@@ -167,13 +187,64 @@ class Trainer:
         epoch = 0
         best_device_state = None
 
+        def on_validation(val: dict[str, float], at_epoch: int) -> bool:
+            """Monitor/early-stop/best-checkpoint bookkeeping shared by
+            epoch-end and mid-epoch (``val_check_interval``) validations.
+            Returns True when early stopping fires.  Lightning errors on a
+            missing monitor metric; so do we — a silent NaN would make every
+            epoch look like an improvement (ADVICE round 1)."""
+            nonlocal monitor_best, patience_left, best_device_state, last_val
+            last_val = val
+            if cfg.monitor not in val:
+                msg = (
+                    f"monitor metric {cfg.monitor!r} missing from validation "
+                    f"results {sorted(val)}; fix TrainConfig.monitor or the "
+                    "validation split"
+                )
+                raise KeyError(msg)
+            score = val[cfg.monitor]
+            improved = np.isfinite(score) and (
+                score > monitor_best
+                if cfg.monitor_mode == "max"
+                else score < monitor_best
+            )
+            if improved:
+                monitor_best = score
+                patience_left = cfg.early_stopping_patience
+                if cfg.checkpoint_every_epoch:
+                    ckpt_lib.save_checkpoint(
+                        best_ckpt,
+                        self.state,
+                        epoch=at_epoch,
+                        metrics=val,
+                        backend=cfg.checkpoint_backend,
+                    )
+                else:  # device reference only: zero host transfer
+                    best_device_state = (self.state, at_epoch, dict(val))
+            else:
+                patience_left -= 1
+                if patience_left <= 0:
+                    return True
+            return False
+
+        self._midepoch_validate = None
+        if cfg.val_check_interval > 0:
+
+            def midepoch_validate(at_epoch: int) -> bool:
+                self.model.params = self.state.params
+                val = self.validate(stage="val")
+                self.logger.log(val, step=self._host_step or int(self.state.step))
+                return on_validation(val, at_epoch)
+
+            self._midepoch_validate = midepoch_validate
+
         profiling = False
         if cfg.profile_dir:
             jax.profiler.start_trace(cfg.profile_dir)
             profiling = True
         try:
             for epoch in range(cfg.max_epochs):
-                if cfg.steps_per_dispatch > 1 and self.mesh is None:
+                if cfg.steps_per_dispatch > 1:
                     stop, examples = self._run_epoch_scanned(
                         epoch, root_key, t_start, examples
                     )
@@ -183,38 +254,21 @@ class Trainer:
                     )
 
                 self.model.params = self.state.params
-                last_val = self.validate(stage="val")
-                self.logger.log(last_val, step=int(self.state.step))
-
-                score = last_val.get(cfg.monitor, np.nan)
-                improved = (
-                    score > monitor_best
-                    if cfg.monitor_mode == "max"
-                    else score < monitor_best
-                )
-                if improved or not np.isfinite(monitor_best):
-                    monitor_best = score
-                    patience_left = cfg.early_stopping_patience
-                    if cfg.checkpoint_every_epoch:
-                        ckpt_lib.save_checkpoint(
-                            best_ckpt, self.state, epoch=epoch, metrics=last_val
-                        )
-                    else:  # device reference only: zero host transfer
-                        best_device_state = (self.state, epoch, dict(last_val))
-                else:
-                    patience_left -= 1
-                    if patience_left <= 0:
-                        stop = True
+                val = self.validate(stage="val")
+                self.logger.log(val, step=int(self.state.step))
+                stop = on_validation(val, epoch) or stop
                 if cfg.checkpoint_every_epoch:
                     ckpt_lib.save_checkpoint(
                         pathlib.Path(cfg.ckpt_dir) / "last",
                         self.state,
                         epoch=epoch,
                         metrics=last_val,
+                        backend=cfg.checkpoint_backend,
                     )
                 if stop:
                     break
         finally:
+            self._midepoch_validate = None
             if profiling:
                 jax.profiler.stop_trace()
 
@@ -224,16 +278,23 @@ class Trainer:
                 self.state,
                 epoch=epoch,
                 metrics=last_val,
+                backend=cfg.checkpoint_backend,
             )
             if best_device_state is not None:
                 state, best_epoch, best_val = best_device_state
                 ckpt_lib.save_checkpoint(
-                    best_ckpt, state, epoch=best_epoch, metrics=best_val
+                    best_ckpt,
+                    state,
+                    epoch=best_epoch,
+                    metrics=best_val,
+                    backend=cfg.checkpoint_backend,
                 )
                 self.state = state
 
         # restore best weights (parity: Lightning ckpt_path="best")
-        if cfg.checkpoint_every_epoch and (best_ckpt / "state.npz").exists():
+        if cfg.checkpoint_every_epoch and (
+            (best_ckpt / "state.npz").exists() or (best_ckpt / "orbax").exists()
+        ):
             self.state, _ = ckpt_lib.load_checkpoint(best_ckpt, self.state)
         self.model.params = self.state.params
         return {**last_val, "train/examples_per_s": examples / max(time.time() - t_start, 1e-9)}
@@ -254,8 +315,17 @@ class Trainer:
         cfg = self.config
         if self._host_step is None:
             self._host_step = int(self.state.step)
-        if self._fast_step is None and self.mesh is None:
-            self._fast_step = make_train_step(cfg, full_logs=False)
+        if self._fast_step is None:
+            if self.mesh is None:
+                self._fast_step = make_train_step(cfg, full_logs=False)
+            else:
+                from transformer_recommenders_tpu.parallel.train import (
+                    make_sharded_train_step,
+                )
+
+                self._fast_step = make_sharded_train_step(
+                    cfg, self.mesh, full_logs=False
+                )
 
         batches = _limit(self.datamodule.train_batches(epoch), cfg.limit_train_batches)
         if self.mesh is not None:
@@ -269,15 +339,11 @@ class Trainer:
         for batch in batches:
             step_key = jax.random.fold_in(root_key, self._host_step)
             will_log = (self._host_step + 1) % cfg.log_every_n_steps == 0
-            if self.mesh is not None:
-                self.state, logs = self._train_step(
-                    self.state, self._placed_table, batch, step_key
-                )
-            else:
-                step_fn = self._train_step if will_log else self._fast_step
-                self.state, logs = step_fn(
-                    self.state, self.model.item_table, batch, step_key
-                )
+            step_fn = self._train_step if will_log else self._fast_step
+            table = (
+                self._placed_table if self.mesh is not None else self.model.item_table
+            )
+            self.state, logs = step_fn(self.state, table, batch, step_key)
             examples += batch["history_item_idx"].shape[0]
             self._host_step += 1
             if will_log:
@@ -286,6 +352,13 @@ class Trainer:
                     time.time() - t_start, 1e-9
                 )
                 self.logger.log(logs, step=self._host_step)
+            if (
+                self._midepoch_validate is not None
+                and cfg.val_check_interval > 0
+                and self._host_step % cfg.val_check_interval == 0
+                and self._midepoch_validate(epoch)
+            ):
+                return True, examples
             if 0 <= cfg.max_steps <= self._host_step:
                 return True, examples
             if time.time() - t_start > cfg.max_time_seconds:
@@ -311,10 +384,19 @@ class Trainer:
 
         cfg = self.config
         if getattr(self, "_scan_step", None) is None:
-            self._scan_step = make_scanned_train_steps(cfg)
+            self._scan_step = make_scanned_train_steps(cfg, mesh=self.mesh)
         if self._host_step is None:
             self._host_step = int(self.state.step)
         k = cfg.steps_per_dispatch
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from transformer_recommenders_tpu.params import DATA_AXIS
+
+            window_sharding = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        else:
+            window_sharding = None
 
         window_queue: queue_mod.Queue = queue_mod.Queue(maxsize=2)
         _DONE = object()
@@ -344,8 +426,18 @@ class Trainer:
                 return False, examples
             kind, payload, n_steps, n_examples = item
             if kind == "full":
+                if window_sharding is not None:
+                    payload = {
+                        key: jax.device_put(v, window_sharding)
+                        for key, v in payload.items()
+                    }
+                table = (
+                    self._placed_table
+                    if self.mesh is not None
+                    else self.model.item_table
+                )
                 self.state, logs = self._scan_step(
-                    self.state, self.model.item_table, payload, root_key
+                    self.state, table, payload, root_key
                 )
                 examples += n_examples
                 self._host_step += n_steps
@@ -359,18 +451,42 @@ class Trainer:
                     self.logger.log(means, step=self._host_step)
             else:  # ragged tail keeps shapes static via the single-step path
                 if getattr(self, "_single_step", None) is None:
-                    from transformer_recommenders_tpu.training.train_state import (
-                        make_train_step,
-                    )
+                    if self.mesh is not None:
+                        from transformer_recommenders_tpu.parallel.train import (
+                            make_sharded_train_step,
+                        )
 
-                    self._single_step = make_train_step(cfg)
+                        self._single_step = make_sharded_train_step(
+                            cfg, self.mesh, full_logs=False
+                        )
+                    else:
+                        self._single_step = make_train_step(cfg, full_logs=False)
+                table = (
+                    self._placed_table
+                    if self.mesh is not None
+                    else self.model.item_table
+                )
                 for batch in payload:
                     step_key = jax.random.fold_in(root_key, self._host_step)
+                    if self.mesh is not None:
+                        from transformer_recommenders_tpu.parallel.mesh import (
+                            shard_batch,
+                        )
+
+                        batch = shard_batch(batch, self.mesh)
                     self.state, _ = self._single_step(
-                        self.state, self.model.item_table, batch, step_key
+                        self.state, table, batch, step_key
                     )
                     examples += batch["history_item_idx"].shape[0]
                     self._host_step += 1
+            if (
+                self._midepoch_validate is not None
+                and cfg.val_check_interval > 0
+                and self._host_step // cfg.val_check_interval
+                > (self._host_step - n_steps) // cfg.val_check_interval
+                and self._midepoch_validate(epoch)
+            ):
+                return True, examples
             if 0 <= cfg.max_steps <= self._host_step:
                 return True, examples
             if time.time() - t_start > cfg.max_time_seconds:
@@ -381,9 +497,13 @@ class Trainer:
     def validate(self, stage: str = "val") -> dict[str, float]:
         self.configure()
         arrays = self.datamodule.eval_arrays("val" if stage == "val" else stage)
-        if self.config.limit_val_batches >= 0:
-            n = self.config.limit_val_batches * self.config.eval_batch_size
-            arrays = _slice_arrays(arrays, n)
+        limit = (
+            self.config.limit_val_batches
+            if stage == "val"
+            else self.config.limit_test_batches
+        )
+        if limit >= 0:
+            arrays = _slice_arrays(arrays, limit * self.config.eval_batch_size)
         if self._sharded_evaluator is not None:
             return self._sharded_evaluator.run(
                 self.model.params,
@@ -403,9 +523,18 @@ class Trainer:
         Parity: ``xfmr_rec/trainer.py:307-316``."""
         self.configure()
         arrays = self.datamodule.eval_arrays(split)
-        idx, scores = self._evaluator.recommend_batch(
-            self.model.params, self.model.item_table, arrays
-        )
+        if self.config.limit_predict_batches >= 0:
+            arrays = _slice_arrays(
+                arrays, self.config.limit_predict_batches * self.config.eval_batch_size
+            )
+        if self._sharded_evaluator is not None:
+            idx, scores = self._sharded_evaluator.recommend_batch(
+                self.model.params, (self._placed_table, self._placed_items), arrays
+            )
+        else:
+            idx, scores = self._evaluator.recommend_batch(
+                self.model.params, self.model.item_table, arrays
+            )
         item_ids = np.asarray(self.datamodule.item_ids, object)
         return {
             "user_ids": np.asarray(arrays.user_ids, object),
