@@ -31,16 +31,24 @@ from transformer_recommenders_tpu.models.transformer import (
 D, L, H, F, S = 64, 2, 4, 128, 8
 
 
-def build_hf_model(params):
+def build_hf_model(params, num_heads: int = H):
+    """Load OUR param pytree into a real HF BertModel (shapes inferred from
+    the pytree; only the head count must be passed for non-default
+    configs).  Weight-level forward parity is proven by the tests below."""
+    import numpy as _np
+
     from transformers.models.bert import BertConfig, BertModel
 
+    seq_len, d = _np.asarray(params["pos_embed"]).shape
+    n_layers = _np.asarray(params["layers"]["qkv"]["w"]).shape[0]
+    ffn = _np.asarray(params["layers"]["ffn_in"]["w"]).shape[-1]
     config = BertConfig(
         vocab_size=1,
-        hidden_size=D,
-        num_hidden_layers=L,
-        num_attention_heads=H,
-        intermediate_size=F,
-        max_position_embeddings=S,
+        hidden_size=d,
+        num_hidden_layers=n_layers,
+        num_attention_heads=num_heads,
+        intermediate_size=ffn,
+        max_position_embeddings=seq_len,
         is_decoder=True,
         hidden_dropout_prob=0.0,
         attention_probs_dropout_prob=0.0,
@@ -53,23 +61,23 @@ def build_hf_model(params):
         return torch.as_tensor(np.asarray(x, np.float32))
 
     sd["embeddings.position_embeddings.weight"] = t(params["pos_embed"])
-    sd["embeddings.token_type_embeddings.weight"] = torch.zeros(2, D)
-    sd["embeddings.word_embeddings.weight"] = torch.zeros(1, D)
+    sd["embeddings.token_type_embeddings.weight"] = torch.zeros(2, d)
+    sd["embeddings.word_embeddings.weight"] = torch.zeros(1, d)
     sd["embeddings.LayerNorm.weight"] = t(params["embed_ln"]["scale"])
     sd["embeddings.LayerNorm.bias"] = t(params["embed_ln"]["bias"])
     from transformer_recommenders_tpu.models.transformer import unstack_layer
 
-    for i in range(L):
+    for i in range(n_layers):
         layer = unstack_layer(params, i)
         qkv_w = np.asarray(layer["qkv"]["w"])  # (D, 3D): columns q|k|v
         qkv_b = np.asarray(layer["qkv"]["b"])
         p = f"encoder.layer.{i}."
-        sd[p + "attention.self.query.weight"] = t(qkv_w[:, :D].T)
-        sd[p + "attention.self.query.bias"] = t(qkv_b[:D])
-        sd[p + "attention.self.key.weight"] = t(qkv_w[:, D : 2 * D].T)
-        sd[p + "attention.self.key.bias"] = t(qkv_b[D : 2 * D])
-        sd[p + "attention.self.value.weight"] = t(qkv_w[:, 2 * D :].T)
-        sd[p + "attention.self.value.bias"] = t(qkv_b[2 * D :])
+        sd[p + "attention.self.query.weight"] = t(qkv_w[:, :d].T)
+        sd[p + "attention.self.query.bias"] = t(qkv_b[:d])
+        sd[p + "attention.self.key.weight"] = t(qkv_w[:, d : 2 * d].T)
+        sd[p + "attention.self.key.bias"] = t(qkv_b[d : 2 * d])
+        sd[p + "attention.self.value.weight"] = t(qkv_w[:, 2 * d :].T)
+        sd[p + "attention.self.value.bias"] = t(qkv_b[2 * d :])
         sd[p + "attention.output.dense.weight"] = t(np.asarray(layer["out"]["w"]).T)
         sd[p + "attention.output.dense.bias"] = t(layer["out"]["b"])
         sd[p + "attention.output.LayerNorm.weight"] = t(layer["ln1"]["scale"])

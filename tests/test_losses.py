@@ -211,3 +211,76 @@ def test_candidate_matrix_api_first_and_diagonal():
         cfg_diag, "PairwiseLogisticLoss", jnp.asarray(same), jnp.asarray(cand_same)
     )
     assert np.isfinite(float(val))
+
+
+def stats_oracle(cfg: LossConfig, query, pos, negs, row_valid, neg_valid):
+    """Literal reference LogitsStatistics (``xfmr_rec/losses.py:375-405``):
+    build the per-row candidate matrix [positive, shared valid pool]
+    (C = 1 + N columns, ``models.py:398-411``), mask, and reduce.  Used to
+    prove the density denominator matches the reference's ``C - 1``
+    (VERDICT round-1 weak #7)."""
+    valid_negs = negs[neg_valid]
+    rows = [r for r in range(len(query)) if row_valid[r]]
+    logits = np.stack(
+        [
+            np.concatenate([[query[r] @ pos[r]], valid_negs @ query[r]])
+            for r in rows
+        ]
+    )  # (R_valid, C) with C = 1 + N
+    target = logits[:, :1]
+    if cfg.mask_false_negatives:
+        mask = logits < target  # also masks the target column itself
+    else:
+        mask = np.ones_like(logits, bool)
+        mask[:, 0] = False
+    k = cfg.num_hard_negatives
+    if 0 < k < logits.shape[1]:
+        keep = np.zeros_like(mask)
+        for i in range(len(logits)):
+            masked = np.where(mask[i], logits[i], -np.inf)
+            keep[i, np.argsort(masked)[::-1][:k]] = True
+        mask &= keep
+    num_negatives = logits.shape[1] - 1  # the reference's C - 1
+    if cfg.num_hard_negatives > 0:
+        num_negatives = min(num_negatives, cfg.num_hard_negatives)
+    out = {
+        "logits/neg/density": (mask.sum(1) / (num_negatives + 1e-9)).mean()
+    }
+    neg_vals = logits[mask]
+    for key, vals in {"pos": target[:, 0], "neg": neg_vals}.items():
+        out |= {
+            f"logits/{key}/mean": vals.mean(),
+            f"logits/{key}/std": vals.std(ddof=1),
+            f"logits/{key}/min": vals.min(),
+            f"logits/{key}/max": vals.max(),
+        }
+    return out
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        LossConfig(),
+        LossConfig(mask_false_negatives=False),
+        LossConfig(num_hard_negatives=3),
+    ],
+    ids=["default", "nofn", "hard3"],
+)
+def test_logits_statistics_match_reference_oracle(cfg):
+    """Every statistic INCLUDING the density denominator equals the literal
+    reference computation on the filtered candidate matrix."""
+    query, pos, negs, row_valid, neg_valid = make_case(frac_invalid=0.3)
+    expected = stats_oracle(cfg, query, pos, negs, row_valid, neg_valid)
+    stats = L.logits_statistics(
+        cfg,
+        jnp.asarray(query, jnp.float32),
+        jnp.asarray(pos, jnp.float32),
+        jnp.asarray(negs, jnp.float32),
+        jnp.asarray(row_valid),
+        jnp.asarray(neg_valid),
+    )
+    assert set(stats) == set(expected)
+    for key, want in expected.items():
+        np.testing.assert_allclose(
+            float(stats[key]), want, rtol=1e-5, atol=1e-6, err_msg=key
+        )

@@ -27,7 +27,7 @@ torch = pytest.importorskip("torch")
 import jax
 import jax.numpy as jnp
 
-from tests.test_hf_bert_parity import build_hf_model
+from tests.reference_pipeline import torch_reference_run
 from transformer_recommenders_tpu.configs import SeqDataModuleConfig, TrainConfig
 from transformer_recommenders_tpu.data.module import SeqDataModule
 from transformer_recommenders_tpu.ops.metrics import aggregate_metrics, retrieval_metrics
@@ -74,86 +74,6 @@ def shared(tmp_path_factory):
     trainer.configure()
     init_params = jax.tree.map(np.array, trainer.model.params)
     return trainer, init_params
-
-
-def torch_reference_run(trainer, init_params, loss_name="InfoNCELoss"):
-    """Reference-semantics training loop in torch on the same data."""
-    dm = trainer.datamodule
-    model = build_hf_model(init_params)
-    model.train()
-    table = torch.zeros(len(dm.item_ids) + 1, D)
-    table[1:] = torch.as_tensor(np.asarray(dm.item_embeddings, np.float32))
-
-    opt = torch.optim.AdamW(model.parameters(), lr=LR, weight_decay=0.01)
-    for epoch in range(EPOCHS):
-        for batch in dm.train_batches(epoch):
-            hist = torch.as_tensor(batch["history_item_idx"].astype(np.int64))
-            pos = torch.as_tensor(batch["pos_item_idx"].astype(np.int64))
-            neg = torch.as_tensor(batch["neg_item_idx"].astype(np.int64))
-            inputs = table[hist]
-            mask = (inputs != 0).any(-1)
-            out = model(
-                inputs_embeds=inputs, attention_mask=mask.long()
-            ).last_hidden_state
-            # reference compute_embeds semantics (xfmr_rec/models.py:366-419):
-            # valid-token queries, positives per position, shared neg pool
-            q = out[mask]
-            pos_flat, neg_flat = pos[mask], neg[mask]
-            pos_keep = pos_flat != 0
-            q, pos_flat = q[pos_keep], pos_flat[pos_keep]
-            pos_e = table[pos_flat]
-            neg_e = table[neg[mask]]  # pool from attention-valid positions
-            pos_logit = (q * pos_e).sum(-1)
-            neg_logits = q @ neg_e.T
-            fn_mask = neg_logits < pos_logit[:, None]
-            if loss_name == "InfoNCELoss":
-                logits = torch.cat(
-                    [pos_logit[:, None], neg_logits.masked_fill(~fn_mask, -torch.inf)],
-                    dim=1,
-                )
-                loss = torch.nn.functional.cross_entropy(
-                    logits,
-                    torch.zeros(len(q), dtype=torch.long),
-                    reduction="sum",
-                )
-            else:  # PairwiseLogisticLoss at margin=0 ~= BPR (losses.py:530-543)
-                margin = 0.0
-                scores = neg_logits - pos_logit[:, None] * (1 - margin)
-                w = fn_mask.float()
-                denom = w.sum(dim=1, keepdim=True) + 1e-9
-                loss = (
-                    torch.nn.functional.softplus(scores) * w / denom
-                ).sum()
-            opt.zero_grad()
-            loss.backward()
-            opt.step()
-
-    # identical eval protocol
-    model.eval()
-    arrays = dm.eval_arrays("val")
-    with torch.inference_mode():
-        inputs = table[torch.as_tensor(arrays.history_window.astype(np.int64))]
-        mask = (inputs != 0).any(-1)
-        tok = model(
-            inputs_embeds=inputs, attention_mask=mask.long()
-        ).last_hidden_state
-        pooled = (tok * mask[:, :, None]).sum(1) / mask.sum(1, keepdim=True).clamp(
-            min=1e-9
-        )
-    queries = pooled.numpy()
-    items = np.asarray(dm.item_embeddings, np.float32)
-    qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
-    tn = items / np.maximum(np.linalg.norm(items, axis=1, keepdims=True), 1e-12)
-    scores = qn @ tn.T
-    for u, h in enumerate(arrays.histories):
-        scores[u, h - 1] = -np.inf
-    top = np.argsort(-scores, axis=1)[:, :TOPK] + 1
-    targets = arrays.targets
-    rel = (top[:, :, None] == targets[:, None, :]) & (targets[:, None, :] > 0)
-    metrics = retrieval_metrics(
-        jnp.asarray(rel.any(-1)), jnp.asarray(arrays.n_targets), TOPK
-    )
-    return {k: float(v) for k, v in aggregate_metrics(metrics).items()}
 
 
 def test_quality_matches_torch_reference_pipeline(shared):

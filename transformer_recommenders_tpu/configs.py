@@ -65,6 +65,10 @@ class ModelConfig(pydantic.BaseModel):
 
     # TPU-first knobs
     compute_dtype: Literal["bfloat16", "float32"] = "bfloat16"
+    # fuse QK^T -> softmax -> dropout -> PV into one Pallas kernel per
+    # (batch, head) — no (B, H, S, S) probs in HBM (ops/flash_attention.py).
+    # Pays off when attention is the quadratic-largest op (seq 128 configs);
+    # XLA path is used on CPU backends regardless
     use_pallas_attention: bool = False
     # jax.checkpoint each encoder layer: recompute in backward instead of
     # saving attention/FFN residuals.  Off by default (measured 25% SLOWER

@@ -26,6 +26,7 @@ driving HF BERT with ``inputs_embeds``):
 
 from __future__ import annotations
 
+import math
 from typing import Any
 
 import jax
@@ -124,6 +125,18 @@ def _dropout(x: jax.Array, rate: float, rng: jax.Array | None) -> jax.Array:
     return jnp.where(keep, x / (1.0 - rate), 0.0)
 
 
+def _pallas_attention_mode(cfg: ModelConfig) -> str | None:
+    """None -> XLA attention; "compiled"/"interpret" -> the fused Pallas
+    kernel (``ops/flash_attention.py``).  Interpret mode exists for CPU
+    tests (monkeypatched there); compiled mode requires a real TPU."""
+    if not cfg.use_pallas_attention:
+        return None
+    try:
+        return "compiled" if jax.default_backend() != "cpu" else None
+    except RuntimeError:  # pragma: no cover - backend init failure
+        return None
+
+
 def _attention(
     x: jax.Array,
     p: Params,
@@ -139,10 +152,37 @@ def _attention(
     qkv = _dense(x, p["qkv"], dtype)  # (B, S, 3D) f32 accum
     qkv = qkv.astype(dtype).reshape(b, s, 3, h, dh)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    scale = 1.0 / math.sqrt(dh)
+
+    mode = _pallas_attention_mode(cfg)
+    if mode is not None:
+        from transformer_recommenders_tpu.ops.flash_attention import (
+            flash_attention,
+        )
+
+        rate = cfg.attention_dropout if rng is not None else 0.0
+        seed = (
+            jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max)
+            if rate > 0.0
+            else None
+        )
+        # heads stay packed in the last dim — the kernel slices per head,
+        # so the (B,H,S,Dh) transpose round-trip of the XLA path vanishes
+        ctx = flash_attention(
+            q.reshape(b, s, d), k.reshape(b, s, d), v.reshape(b, s, d),
+            key_mask,
+            num_heads=h,
+            scale=scale,
+            causal=cfg.is_decoder,
+            dropout_rate=rate,
+            dropout_seed=seed,
+            interpret=mode == "interpret",
+        )
+        return _dense(ctx.astype(dtype), p["out"], dtype)
 
     # scores in f32: (B, H, S, S)
     scores = jnp.einsum("bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32)
-    scores = scores * (1.0 / jnp.sqrt(jnp.float32(dh)))
+    scores = scores * scale
 
     bias = jnp.where(key_mask[:, None, None, :], 0.0, _NEG_INF)  # mask padded keys
     if cfg.is_decoder:

@@ -1,0 +1,266 @@
+"""Fused causal-attention Pallas TPU kernel (the ``use_pallas_attention``
+path of the encoder).
+
+Replaces the reference's torch SDPA inside HF BERT
+(``xfmr_rec/models.py:306-345`` via ATen, SURVEY.md §2.2 row 3) for the
+shapes this framework targets (seq <= 128, BASELINE.json config #4): the
+(S, S) per-head score matrices of one batch element fit VMEM, so one
+program fuses QK^T -> bias -> softmax -> dropout -> PV across ALL heads
+with the probability matrices never touching HBM.  XLA's unfused path
+materializes (B, H, S, S) f32 scores + probs between its two matmuls, and
+with attention dropout additionally generates + stores a (B, H, S, S)
+random mask in HBM — measured 2.5x the no-dropout step cost at config #4.
+Here dropout is a counter-based hash evaluated in-register.
+
+Grid = (B,): one program per batch element with a static loop over heads.
+(An earlier (B*H,)-grid variant spent more time on per-program overhead
+than compute — 1024 tiny programs at config #4; see BASELINE.md.)
+
+Backward recomputes probs from the saved q/k/v (flash-attention style:
+cheap MXU FLOPs for HBM bandwidth) in a second kernel producing dq/dk/dv.
+
+The dropout keep-mask is regenerated bit-identically in the backward from
+the same seed (verified by finite differences in
+``tests/test_flash_attention.py``); its STREAM differs from
+``jax.random.bernoulli`` (different PRNG), which is immaterial — dropout
+only needs the right marginal rate.
+
+Numerics with dropout off are identical to the XLA ``_attention`` in
+``models/transformer.py`` (same -1e9 additive masking, f32 softmax, probs
+cast to the compute dtype for the PV matmul); equivalence + grads are
+tested in interpret mode on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from transformer_recommenders_tpu.ops.fused_infonce import _maybe_interpret
+
+_NEG_INF = -1e9  # matches models/transformer.py masking
+
+
+def _bias(mask_ref, s: int, causal: bool) -> jax.Array:
+    """(S, S) additive bias: key padding + causal, like the XLA path."""
+    key_valid = mask_ref[0, 0, :] > 0  # (S,)
+    bias = jnp.where(key_valid[None, :], 0.0, _NEG_INF)
+    if causal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        bias = bias + jnp.where(rows >= cols, 0.0, _NEG_INF)
+    return bias
+
+
+def _dropout_keep(seed_ref, stream: jax.Array, shape, rate: float) -> jax.Array:
+    """Deterministic keep mask from a counter-based hash (murmur3 fmix32
+    avalanche over element index x seed x stream).
+
+    Counter-based rather than ``pltpu.prng_random_bits`` for two reasons:
+    the backward pass regenerates the IDENTICAL mask from the same seed
+    with no state to thread, and the bits are bit-identical between
+    compiled Mosaic and the TPU interpreter (whose prng primitive is a
+    stub), so CPU tests exercise the real dropout math.
+    """
+    s0, s1 = shape
+    idx = (
+        jax.lax.broadcasted_iota(jnp.int32, shape, 0) * s1
+        + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    ).astype(jnp.uint32)
+    h = idx * jnp.uint32(0x9E3779B1)
+    h = h + seed_ref[0].astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
+    h = h + (stream.astype(jnp.uint32) + jnp.uint32(1)) * jnp.uint32(0xC2B2AE3D)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    threshold = jnp.uint32(min(int(rate * 4294967296.0), 4294967295))
+    return h >= threshold
+
+
+def _head_probs(q, k, bias, seed_ref, stream, *, scale, dropout_rate):
+    """(probs, dropped, keep) for one head's (S, Dh) q/k."""
+    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(scores + bias, axis=-1)
+    if dropout_rate > 0.0:
+        keep = _dropout_keep(seed_ref, stream, scores.shape, dropout_rate)
+        dropped = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+        return probs, dropped, keep
+    return probs, probs, None
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, seed_ref, out_ref,
+                *, num_heads: int, scale: float, causal: bool,
+                dropout_rate: float):
+    s, d = q_ref.shape[1], q_ref.shape[2]
+    dh = d // num_heads
+    bias = _bias(mask_ref, s, causal)
+    b_idx = pl.program_id(0)
+    for h in range(num_heads):
+        sl = pl.dslice(h * dh, dh)
+        q, k, v = q_ref[0, :, sl], k_ref[0, :, sl], v_ref[0, :, sl]
+        stream = b_idx * num_heads + h
+        _, dropped, _ = _head_probs(
+            q, k, bias, seed_ref, stream, scale=scale, dropout_rate=dropout_rate
+        )
+        out_ref[0, :, sl] = jnp.dot(
+            dropped.astype(v.dtype), v, preferred_element_type=jnp.float32
+        ).astype(out_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, seed_ref, g_ref,
+                dq_ref, dk_ref, dv_ref,
+                *, num_heads: int, scale: float, causal: bool,
+                dropout_rate: float):
+    s, d = q_ref.shape[1], q_ref.shape[2]
+    dh = d // num_heads
+    bias = _bias(mask_ref, s, causal)
+    b_idx = pl.program_id(0)
+    for h in range(num_heads):
+        sl = pl.dslice(h * dh, dh)
+        q, k, v = q_ref[0, :, sl], k_ref[0, :, sl], v_ref[0, :, sl]
+        g = g_ref[0, :, sl].astype(jnp.float32)
+        stream = b_idx * num_heads + h
+        probs, dropped, keep = _head_probs(
+            q, k, bias, seed_ref, stream, scale=scale, dropout_rate=dropout_rate
+        )
+        # out = D(P) @ V
+        dv_ref[0, :, sl] = jnp.dot(
+            dropped.T.astype(g.dtype), g, preferred_element_type=jnp.float32
+        ).astype(dv_ref.dtype)
+        d_dropped = jnp.dot(g, v.T.astype(g.dtype), preferred_element_type=jnp.float32)
+        if keep is not None:
+            d_probs = jnp.where(keep, d_dropped / (1.0 - dropout_rate), 0.0)
+        else:
+            d_probs = d_dropped
+        # softmax backward: dS = P * (dP - rowsum(dP * P))
+        d_scores = probs * (
+            d_probs - jnp.sum(d_probs * probs, axis=-1, keepdims=True)
+        )
+        d_scores = (d_scores * scale).astype(q.dtype)
+        dq_ref[0, :, sl] = jnp.dot(
+            d_scores, k, preferred_element_type=jnp.float32
+        ).astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = jnp.dot(
+            d_scores.T, q, preferred_element_type=jnp.float32
+        ).astype(dk_ref.dtype)
+
+
+def _specs(s: int, d: int):
+    qkv = pl.BlockSpec((1, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    # mask rides as (B, 1, S) with (1, 1, S) blocks: Mosaic requires the
+    # last two block dims to be (8k, 128k) or equal to the array dims
+    mask = pl.BlockSpec((1, 1, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    seed = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return qkv, mask, seed
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_attention(q, k, v, key_mask, seed,
+                     num_heads: int, scale: float, causal: bool,
+                     dropout_rate: float, interpret: bool):
+    return _fwd_call(
+        q, k, v, key_mask, seed, num_heads, scale, causal, dropout_rate, interpret
+    )
+
+
+def _fwd_call(q, k, v, key_mask, seed, num_heads, scale, causal, dropout_rate,
+              interpret):
+    b, s, d = q.shape
+    qkv_spec, mask_spec, seed_spec = _specs(s, d)
+    with _maybe_interpret(interpret):
+        return pl.pallas_call(
+            functools.partial(
+                _fwd_kernel, num_heads=num_heads, scale=scale, causal=causal,
+                dropout_rate=dropout_rate,
+            ),
+            grid=(b,),
+            in_specs=[qkv_spec, qkv_spec, qkv_spec, mask_spec, seed_spec],
+            out_specs=qkv_spec,
+            out_shape=jax.ShapeDtypeStruct((b, s, d), jnp.float32),
+        )(q, k, v, key_mask, seed)
+
+
+def _vjp_fwd(q, k, v, key_mask, seed, num_heads, scale, causal, dropout_rate,
+             interpret):
+    out = _fwd_call(
+        q, k, v, key_mask, seed, num_heads, scale, causal, dropout_rate, interpret
+    )
+    return out, (q, k, v, key_mask, seed)
+
+
+def _vjp_bwd(num_heads, scale, causal, dropout_rate, interpret, residuals, g):
+    q, k, v, key_mask, seed = residuals
+    b, s, d = q.shape
+    qkv_spec, mask_spec, seed_spec = _specs(s, d)
+    with _maybe_interpret(interpret):
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(
+                _bwd_kernel, num_heads=num_heads, scale=scale, causal=causal,
+                dropout_rate=dropout_rate,
+            ),
+            grid=(b,),
+            in_specs=[qkv_spec, qkv_spec, qkv_spec, mask_spec, seed_spec, qkv_spec],
+            out_specs=[qkv_spec, qkv_spec, qkv_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, s, d), jnp.float32),
+                jax.ShapeDtypeStruct((b, s, d), jnp.float32),
+                jax.ShapeDtypeStruct((b, s, d), jnp.float32),
+            ],
+        )(q, k, v, key_mask, seed, g.astype(jnp.float32))
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None, None
+
+
+_flash_attention.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_mask: jax.Array,
+    *,
+    num_heads: int,
+    scale: float,
+    causal: bool = True,
+    dropout_rate: float = 0.0,
+    dropout_seed: jax.Array | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused multi-head attention.
+
+    Args:
+        q, k, v: ``(B, S, D)`` arrays with heads packed in the last dim
+            (``D = num_heads * Dh``, the natural qkv-projection layout —
+            no head transpose needed).  Any float dtype; matmuls
+            accumulate f32 like the XLA path.
+        key_mask: ``(B, S)`` bool/int validity of key positions.
+        num_heads: head count (``D`` must divide evenly).
+        scale: score multiplier (``1/sqrt(Dh)``).
+        causal: lower-triangular masking (reference ``is_decoder=True``).
+        dropout_rate: attention-probability dropout, applied in-kernel.
+        dropout_seed: int32 scalar; required when ``dropout_rate > 0``.
+
+    Returns:
+        ``(B, S, D)`` float32 context (pre output-projection).
+    """
+    b, s, d = q.shape
+    if d % num_heads:
+        msg = f"hidden {d} not divisible by num_heads {num_heads}"
+        raise ValueError(msg)
+    if dropout_rate > 0.0 and dropout_seed is None:
+        msg = "dropout_rate > 0 requires dropout_seed"
+        raise ValueError(msg)
+    mask = key_mask.astype(jnp.int32).reshape(b, 1, s)
+    seed = jnp.asarray(
+        dropout_seed if dropout_seed is not None else 0, jnp.int32
+    ).reshape(1)
+    return _flash_attention(
+        q, k, v, mask, seed,
+        num_heads, scale, causal, float(dropout_rate), interpret,
+    )

@@ -268,7 +268,9 @@ def logits_statistics_moments(
 
     # density denominator: the reference's ``C - 1`` (losses.py:386-389)
     # where C = 1 + pool and the pool holds every attention-valid position
-    # (models.py:404-411) — i.e. exactly sum(neg_valid) here.
+    # (models.py:404-411) — i.e. exactly sum(neg_valid) here.  Equality with
+    # the literal reference computation is proven by
+    # tests/test_losses.py::test_logits_statistics_match_reference_oracle.
     n_valid_neg = jnp.sum(neg_valid.astype(jnp.float32))
     num_negatives = n_valid_neg
     if cfg.num_hard_negatives > 0:

@@ -74,6 +74,14 @@ def build(args: argparse.Namespace, overrides: list[str]):
 
 
 def main(argv: list[str] | None = None) -> dict[str, float]:
+    # multi-host bring-up at process start, BEFORE any backend-touching
+    # JAX call (ADVICE round 1: jax.devices()-before-initialize leaves each
+    # host with a silently local-only mesh)
+    from transformer_recommenders_tpu.parallel.mesh import (
+        maybe_initialize_distributed,
+    )
+
+    maybe_initialize_distributed()
     import jax
 
     # persistent compile cache: TPU programs (especially via remote compile

@@ -76,6 +76,14 @@ class Trainer:
         """Build datamodule artifacts, model, train state and compiled steps.
         Parity: ``RecommenderLightningModule.configure_model``
         (``xfmr_rec/trainer.py:139-161``)."""
+        # multi-host bring-up FIRST: jax.distributed.initialize must run
+        # before anything (jax.devices, random.key, ...) initializes the
+        # local-only backend (env-gated no-op on single host)
+        from transformer_recommenders_tpu.parallel.mesh import (
+            maybe_initialize_distributed,
+        )
+
+        maybe_initialize_distributed()
         dm = self.datamodule
         dm.prepare_data()
         dm.setup()
