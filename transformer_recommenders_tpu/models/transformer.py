@@ -118,11 +118,43 @@ def _dense(x: jax.Array, p: Params, dtype: jnp.dtype) -> jax.Array:
     return out.astype(dtype)
 
 
+def _linear_iota(shape: tuple[int, ...]) -> jax.Array:
+    """uint32 linear element index, built from broadcasted iotas (fusable
+    elementwise; TPU rejects plain 1-D iota)."""
+    idx = None
+    stride = 1
+    for dim in reversed(range(len(shape))):
+        term = jax.lax.broadcasted_iota(jnp.uint32, shape, dim) * jnp.uint32(stride)
+        idx = term if idx is None else idx + term
+        stride *= shape[dim]
+    return idx
+
+
 def _dropout(x: jax.Array, rate: float, rng: jax.Array | None) -> jax.Array:
+    """Inverted dropout from a counter-based hash (murmur3 fmix32 over the
+    element index x the key's raw data words).
+
+    vs ``jax.random.bernoulli``: the threefry bit tensor is a separate
+    custom-call whose output XLA materializes (and relayouts) in HBM —
+    traced at >1 ms/step on the (B, H, S, S) attention probs at the
+    flagship size.  The hash is pure elementwise VPU work that fuses into
+    the surrounding softmax/matmul fusions; the stream differs from
+    jax.random (immaterial for dropout — the reference's torch stream
+    never matched either).  Same construction as the in-kernel dropout of
+    ``ops/flash_attention.py``.
+    """
     if rng is None or rate <= 0.0:
         return x
-    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
-    return jnp.where(keep, x / (1.0 - rate), 0.0)
+    data = jax.random.key_data(rng).reshape(-1).astype(jnp.uint32)
+    seed = data[-1] ^ (data[0] * jnp.uint32(0x9E3779B1))
+    h = _linear_iota(x.shape) * jnp.uint32(0x9E3779B1) + seed * jnp.uint32(0x85EBCA77)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    threshold = jnp.uint32(min(int(rate * 4294967296.0), 4294967295))
+    return jnp.where(h >= threshold, x / (1.0 - rate), 0.0)
 
 
 def _pallas_attention_mode(cfg: ModelConfig) -> str | None:
@@ -150,8 +182,11 @@ def _attention(
     dtype = jnp.dtype(cfg.compute_dtype)
 
     qkv = _dense(x, p["qkv"], dtype)  # (B, S, 3D) f32 accum
-    qkv = qkv.astype(dtype).reshape(b, s, 3, h, dh)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    # slice along the LAST dim at 128-aligned offsets (columns are [q|k|v],
+    # each D wide).  The earlier reshape to (B, S, 3, H, Dh) made XLA
+    # relayout through a 16-lane-tiled 5-D tensor — traced at >1.4 ms/step
+    # of async copies at the flagship size (see BASELINE.md round 2).
+    q, k, v = qkv[..., :d], qkv[..., d : 2 * d], qkv[..., 2 * d :]
     scale = 1.0 / math.sqrt(dh)
 
     mode = _pallas_attention_mode(cfg)
@@ -167,10 +202,9 @@ def _attention(
             else None
         )
         # heads stay packed in the last dim — the kernel slices per head,
-        # so the (B,H,S,Dh) transpose round-trip of the XLA path vanishes
+        # so no (B,H,S,Dh) relayout ever materializes
         ctx = flash_attention(
-            q.reshape(b, s, d), k.reshape(b, s, d), v.reshape(b, s, d),
-            key_mask,
+            q, k, v, key_mask,
             num_heads=h,
             scale=scale,
             causal=cfg.is_decoder,
@@ -180,6 +214,9 @@ def _attention(
         )
         return _dense(ctx.astype(dtype), p["out"], dtype)
 
+    q = q.reshape(b, s, h, dh)
+    k = k.reshape(b, s, h, dh)
+    v = v.reshape(b, s, h, dh)
     # scores in f32: (B, H, S, S)
     scores = jnp.einsum("bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32)
     scores = scores * scale

@@ -45,9 +45,9 @@ from transformer_recommenders_tpu.ops.fused_infonce import _maybe_interpret
 _NEG_INF = -1e9  # matches models/transformer.py masking
 
 
-def _bias(mask_ref, s: int, causal: bool) -> jax.Array:
+def _bias(mask_row, s: int, causal: bool) -> jax.Array:
     """(S, S) additive bias: key padding + causal, like the XLA path."""
-    key_valid = mask_ref[0, 0, :] > 0  # (S,)
+    key_valid = mask_row[0, 0, :] > 0  # (S,)
     bias = jnp.where(key_valid[None, :], 0.0, _NEG_INF)
     if causal:
         rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
@@ -97,89 +97,110 @@ def _head_probs(q, k, bias, seed_ref, stream, *, scale, dropout_rate):
 def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, seed_ref, out_ref,
                 *, num_heads: int, scale: float, causal: bool,
                 dropout_rate: float):
-    s, d = q_ref.shape[1], q_ref.shape[2]
+    bt, s, d = q_ref.shape
     dh = d // num_heads
-    bias = _bias(mask_ref, s, causal)
-    b_idx = pl.program_id(0)
-    for h in range(num_heads):
-        sl = pl.dslice(h * dh, dh)
-        q, k, v = q_ref[0, :, sl], k_ref[0, :, sl], v_ref[0, :, sl]
-        stream = b_idx * num_heads + h
-        _, dropped, _ = _head_probs(
-            q, k, bias, seed_ref, stream, scale=scale, dropout_rate=dropout_rate
-        )
-        out_ref[0, :, sl] = jnp.dot(
-            dropped.astype(v.dtype), v, preferred_element_type=jnp.float32
-        ).astype(out_ref.dtype)
+    base = pl.program_id(0) * bt
+    for b in range(bt):
+        bias = _bias(mask_ref[b : b + 1], s, causal)
+        for h in range(num_heads):
+            sl = pl.dslice(h * dh, dh)
+            q, k, v = q_ref[b, :, sl], k_ref[b, :, sl], v_ref[b, :, sl]
+            stream = (base + b) * num_heads + h
+            _, dropped, _ = _head_probs(
+                q, k, bias, seed_ref, stream, scale=scale,
+                dropout_rate=dropout_rate,
+            )
+            out_ref[b, :, sl] = jnp.dot(
+                dropped.astype(v.dtype), v, preferred_element_type=jnp.float32
+            ).astype(out_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, seed_ref, g_ref,
                 dq_ref, dk_ref, dv_ref,
                 *, num_heads: int, scale: float, causal: bool,
                 dropout_rate: float):
-    s, d = q_ref.shape[1], q_ref.shape[2]
+    bt, s, d = q_ref.shape
     dh = d // num_heads
-    bias = _bias(mask_ref, s, causal)
-    b_idx = pl.program_id(0)
-    for h in range(num_heads):
-        sl = pl.dslice(h * dh, dh)
-        q, k, v = q_ref[0, :, sl], k_ref[0, :, sl], v_ref[0, :, sl]
-        g = g_ref[0, :, sl].astype(jnp.float32)
-        stream = b_idx * num_heads + h
-        probs, dropped, keep = _head_probs(
-            q, k, bias, seed_ref, stream, scale=scale, dropout_rate=dropout_rate
-        )
-        # out = D(P) @ V
-        dv_ref[0, :, sl] = jnp.dot(
-            dropped.T.astype(g.dtype), g, preferred_element_type=jnp.float32
-        ).astype(dv_ref.dtype)
-        d_dropped = jnp.dot(g, v.T.astype(g.dtype), preferred_element_type=jnp.float32)
-        if keep is not None:
-            d_probs = jnp.where(keep, d_dropped / (1.0 - dropout_rate), 0.0)
-        else:
-            d_probs = d_dropped
-        # softmax backward: dS = P * (dP - rowsum(dP * P))
-        d_scores = probs * (
-            d_probs - jnp.sum(d_probs * probs, axis=-1, keepdims=True)
-        )
-        d_scores = (d_scores * scale).astype(q.dtype)
-        dq_ref[0, :, sl] = jnp.dot(
-            d_scores, k, preferred_element_type=jnp.float32
-        ).astype(dq_ref.dtype)
-        dk_ref[0, :, sl] = jnp.dot(
-            d_scores.T, q, preferred_element_type=jnp.float32
-        ).astype(dk_ref.dtype)
+    base = pl.program_id(0) * bt
+    for b in range(bt):
+        bias = _bias(mask_ref[b : b + 1], s, causal)
+        for h in range(num_heads):
+            sl = pl.dslice(h * dh, dh)
+            q, k, v = q_ref[b, :, sl], k_ref[b, :, sl], v_ref[b, :, sl]
+            g = g_ref[b, :, sl].astype(jnp.float32)
+            stream = (base + b) * num_heads + h
+            probs, dropped, keep = _head_probs(
+                q, k, bias, seed_ref, stream, scale=scale,
+                dropout_rate=dropout_rate,
+            )
+            # out = D(P) @ V
+            dv_ref[b, :, sl] = jnp.dot(
+                dropped.T.astype(g.dtype), g, preferred_element_type=jnp.float32
+            ).astype(dv_ref.dtype)
+            d_dropped = jnp.dot(
+                g, v.T.astype(g.dtype), preferred_element_type=jnp.float32
+            )
+            if keep is not None:
+                d_probs = jnp.where(keep, d_dropped / (1.0 - dropout_rate), 0.0)
+            else:
+                d_probs = d_dropped
+            # softmax backward: dS = P * (dP - rowsum(dP * P))
+            d_scores = probs * (
+                d_probs - jnp.sum(d_probs * probs, axis=-1, keepdims=True)
+            )
+            d_scores = (d_scores * scale).astype(q.dtype)
+            dq_ref[b, :, sl] = jnp.dot(
+                d_scores, k, preferred_element_type=jnp.float32
+            ).astype(dq_ref.dtype)
+            dk_ref[b, :, sl] = jnp.dot(
+                d_scores.T, q, preferred_element_type=jnp.float32
+            ).astype(dk_ref.dtype)
 
 
-def _specs(s: int, d: int):
-    qkv = pl.BlockSpec((1, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    # mask rides as (B, 1, S) with (1, 1, S) blocks: Mosaic requires the
+def _specs(s: int, d: int, bt: int):
+    qkv = pl.BlockSpec((bt, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    # mask rides as (B, 1, S) with (bt, 1, S) blocks: Mosaic requires the
     # last two block dims to be (8k, 128k) or equal to the array dims
-    mask = pl.BlockSpec((1, 1, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    mask = pl.BlockSpec((bt, 1, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     seed = pl.BlockSpec(memory_space=pltpu.SMEM)
     return qkv, mask, seed
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _pick_block_batch(b: int, s: int, d: int) -> int:
+    """Batch elements per grid step: enough to amortize per-iteration grid
+    overhead (dominant at small S — an unblocked (B*H,) variant measured
+    2x slower than XLA from overhead alone), bounded by a ~4 MB VMEM
+    budget across the q/k/v/g/dq/dk/dv blocks of the backward kernel."""
+    budget = 4_000_000
+    per_elem = 7 * s * d * 4
+    bt = max(1, budget // per_elem)
+    bt = 1 << (bt.bit_length() - 1)
+    while b % bt:
+        bt //= 2
+    return max(bt, 1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def _flash_attention(q, k, v, key_mask, seed,
                      num_heads: int, scale: float, causal: bool,
-                     dropout_rate: float, interpret: bool):
+                     dropout_rate: float, interpret: bool, block_batch: int):
     return _fwd_call(
-        q, k, v, key_mask, seed, num_heads, scale, causal, dropout_rate, interpret
+        q, k, v, key_mask, seed, num_heads, scale, causal, dropout_rate,
+        interpret, block_batch,
     )
 
 
 def _fwd_call(q, k, v, key_mask, seed, num_heads, scale, causal, dropout_rate,
-              interpret):
+              interpret, block_batch):
     b, s, d = q.shape
-    qkv_spec, mask_spec, seed_spec = _specs(s, d)
+    qkv_spec, mask_spec, seed_spec = _specs(s, d, block_batch)
     with _maybe_interpret(interpret):
         return pl.pallas_call(
             functools.partial(
                 _fwd_kernel, num_heads=num_heads, scale=scale, causal=causal,
                 dropout_rate=dropout_rate,
             ),
-            grid=(b,),
+            grid=(b // block_batch,),
             in_specs=[qkv_spec, qkv_spec, qkv_spec, mask_spec, seed_spec],
             out_specs=qkv_spec,
             out_shape=jax.ShapeDtypeStruct((b, s, d), jnp.float32),
@@ -187,24 +208,26 @@ def _fwd_call(q, k, v, key_mask, seed, num_heads, scale, causal, dropout_rate,
 
 
 def _vjp_fwd(q, k, v, key_mask, seed, num_heads, scale, causal, dropout_rate,
-             interpret):
+             interpret, block_batch):
     out = _fwd_call(
-        q, k, v, key_mask, seed, num_heads, scale, causal, dropout_rate, interpret
+        q, k, v, key_mask, seed, num_heads, scale, causal, dropout_rate,
+        interpret, block_batch,
     )
     return out, (q, k, v, key_mask, seed)
 
 
-def _vjp_bwd(num_heads, scale, causal, dropout_rate, interpret, residuals, g):
+def _vjp_bwd(num_heads, scale, causal, dropout_rate, interpret, block_batch,
+             residuals, g):
     q, k, v, key_mask, seed = residuals
     b, s, d = q.shape
-    qkv_spec, mask_spec, seed_spec = _specs(s, d)
+    qkv_spec, mask_spec, seed_spec = _specs(s, d, block_batch)
     with _maybe_interpret(interpret):
         dq, dk, dv = pl.pallas_call(
             functools.partial(
                 _bwd_kernel, num_heads=num_heads, scale=scale, causal=causal,
                 dropout_rate=dropout_rate,
             ),
-            grid=(b,),
+            grid=(b // block_batch,),
             in_specs=[qkv_spec, qkv_spec, qkv_spec, mask_spec, seed_spec, qkv_spec],
             out_specs=[qkv_spec, qkv_spec, qkv_spec],
             out_shape=[
@@ -260,7 +283,8 @@ def flash_attention(
     seed = jnp.asarray(
         dropout_seed if dropout_seed is not None else 0, jnp.int32
     ).reshape(1)
+    bt = _pick_block_batch(b, s, d)
     return _flash_attention(
         q, k, v, mask, seed,
-        num_heads, scale, causal, float(dropout_rate), interpret,
+        num_heads, scale, causal, float(dropout_rate), interpret, bt,
     )
