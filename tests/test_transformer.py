@@ -5,6 +5,7 @@ Covers the semantics the reference model relies on
 to the last ``max_seq_length`` positions, pooling modes.
 """
 
+import math
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -198,3 +199,78 @@ def test_ml25m_scale_model_shape():
     out = transformer_encode(params, cfg, x)
     assert out["sentence_embedding"].shape == (2, 256)
     assert np.isfinite(np.asarray(out["sentence_embedding"])).all()
+
+
+# -- hash dropout distribution ------------------------------------------------
+# _dropout replaced jax.random.bernoulli with a counter-based murmur3-fmix32
+# hash (perf: the threefry bit tensor round-tripped HBM).  These tests pin the
+# statistical contract the swap must preserve.
+
+
+def test_hash_dropout_keep_rate_and_scaling():
+    from transformer_recommenders_tpu.models.transformer import _dropout
+
+    rate = 0.1
+    x = jnp.ones((64, 64, 64))  # 262144 elements
+    out = np.asarray(_dropout(x, rate, jax.random.key(3)))
+    kept = out != 0.0
+    n = x.size
+    keep_rate = kept.mean()
+    # binomial 5-sigma bound around 1-rate
+    sigma = math.sqrt(rate * (1 - rate) / n)
+    assert abs(keep_rate - (1 - rate)) < 5 * sigma, keep_rate
+    # inverted-dropout scaling on survivors
+    np.testing.assert_allclose(out[kept], 1.0 / (1 - rate), rtol=1e-6)
+
+
+def test_hash_dropout_rate_sweep():
+    from transformer_recommenders_tpu.models.transformer import _dropout
+
+    x = jnp.ones((512, 512))
+    for rate in (0.02, 0.3, 0.5, 0.9):
+        kept = np.asarray(_dropout(x, rate, jax.random.key(11))) != 0.0
+        sigma = math.sqrt(rate * (1 - rate) / x.size)
+        assert abs(kept.mean() - (1 - rate)) < 5 * sigma, (rate, kept.mean())
+
+
+def test_hash_dropout_masks_independent_across_keys():
+    from transformer_recommenders_tpu.models.transformer import _dropout
+
+    rate = 0.5
+    x = jnp.ones((512, 512))
+    m1 = np.asarray(_dropout(x, rate, jax.random.key(1))) != 0.0
+    m2 = np.asarray(_dropout(x, rate, jax.random.key(2))) != 0.0
+    assert (m1 != m2).any()
+    # independence: P(both kept) ~ keep^2; 5-sigma binomial bound
+    both = (m1 & m2).mean()
+    p = (1 - rate) ** 2
+    sigma = math.sqrt(p * (1 - p) / x.size)
+    assert abs(both - p) < 5 * sigma, both
+    # split keys (the per-site keys inside transformer_encode) also decorrelate
+    k1, k2 = jax.random.split(jax.random.key(0))
+    m1 = np.asarray(_dropout(x, rate, k1)) != 0.0
+    m2 = np.asarray(_dropout(x, rate, k2)) != 0.0
+    both = (m1 & m2).mean()
+    assert abs(both - p) < 5 * sigma, both
+
+
+def test_hash_dropout_no_positional_structure():
+    """Keep rate must hold per row AND per column (no stuck lanes from the
+    linear-index construction)."""
+    from transformer_recommenders_tpu.models.transformer import _dropout
+
+    rate = 0.5
+    x = jnp.ones((256, 256))
+    kept = (np.asarray(_dropout(x, rate, jax.random.key(7))) != 0.0).astype(np.float64)
+    sigma = math.sqrt(rate * (1 - rate) / 256)
+    for axis in (0, 1):
+        marginal = kept.mean(axis=axis)
+        assert (np.abs(marginal - (1 - rate)) < 6 * sigma).all(), marginal.min()
+
+
+def test_hash_dropout_identity_cases():
+    from transformer_recommenders_tpu.models.transformer import _dropout
+
+    x = jax.random.normal(jax.random.key(0), (8, 8))
+    np.testing.assert_array_equal(np.asarray(_dropout(x, 0.0, jax.random.key(1))), np.asarray(x))
+    np.testing.assert_array_equal(np.asarray(_dropout(x, 0.5, None)), np.asarray(x))
