@@ -480,3 +480,65 @@ def test_trainer_writes_mlflow_run(tiny_modules):
     assert (run_dir / "params" / "model.hidden_size").read_text() == "16"
     metric = run_dir / "metrics" / "val" / "retrieval_normalized_dcg"
     assert metric.exists() and len(metric.read_text().splitlines()) >= 1
+
+
+# ---------------------------------------------------------------------------
+# fused flat AdamW (one-fusion optimizer update)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("clip", [None, 0.05])
+def test_flat_adamw_matches_optax_adamw(clip):
+    import optax
+
+    from transformer_recommenders_tpu.training.train_state import (
+        make_flat_adamw,
+        make_optimizer,
+    )
+
+    cfg = TrainConfig(
+        learning_rate=3e-3, weight_decay=0.01, gradient_clip_val=clip
+    )
+    rng = np.random.default_rng(0)
+    params = {
+        "w": jnp.asarray(rng.normal(size=(4, 3)), jnp.float32),
+        "nested": {"b": jnp.asarray(rng.normal(size=(7,)), jnp.float32)},
+    }
+    flat_init, flat_apply = make_flat_adamw(cfg)
+    opt = make_optimizer(cfg)
+    flat_state, opt_state = flat_init(params), opt.init(params)
+    p_flat, p_ref = params, params
+    for i in range(5):
+        grads = jax.tree.map(
+            lambda x: jnp.asarray(rng.normal(size=x.shape) * (10.0 if i == 2 else 1.0), x.dtype),
+            p_ref,
+        )
+        p_flat, flat_state, gnorm = flat_apply(grads, flat_state, p_flat)
+        updates, opt_state = opt.update(grads, opt_state, p_ref)
+        p_ref = optax.apply_updates(p_ref, updates)
+        np.testing.assert_allclose(
+            float(gnorm), float(optax.global_norm(grads)), rtol=1e-6
+        )
+    for a, b in zip(jax.tree.leaves(p_flat), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-6, atol=2e-7)
+
+
+def test_flat_adamw_checkpoint_roundtrip(tmp_path):
+    from transformer_recommenders_tpu.training.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+    from transformer_recommenders_tpu.training.train_state import init_train_state
+
+    cfg = TrainConfig(learning_rate=1e-3, weight_decay=0.01)
+    params = _tiny_params()
+    state = init_train_state(cfg, params)
+    state = state._replace(
+        opt_state=state.opt_state._replace(count=jnp.asarray(7, jnp.int32))
+    )
+    save_checkpoint(tmp_path / "ck", state, epoch=1)
+    template = init_train_state(cfg, _tiny_params())
+    restored, meta = load_checkpoint(tmp_path / "ck", template)
+    assert int(restored.opt_state.count) == 7
+    for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -70,6 +70,17 @@ class ModelConfig(pydantic.BaseModel):
     # Pays off when attention is the quadratic-largest op (seq 128 configs);
     # XLA path is used on CPU backends regardless
     use_pallas_attention: bool = False
+    # XLA attention formulation.  "split": classic head-split einsum
+    # (B,S,H,Dh) — the textbook form, but with Dh < 128 every head split
+    # forces lane-splitting relayout copies (traced at ~0.7 ms/step at the
+    # flagship size).  "masked": head-masked full-width contraction — per-
+    # head scores computed over ALL hidden channels with a per-head channel
+    # mask, so every tensor stays (.., 128)-lane-aligned and no relayout
+    # exists; costs num_heads x redundant MACs on the underfilled MXU
+    # (trivial) and is numerically EXACT (each channel belongs to exactly
+    # one head, so recombination is a select, not a sum).  Measured on v5e
+    # at the flagship shape: 3.99 -> 3.66 ms/step
+    attention_impl: Literal["split", "masked"] = "masked"
     # jax.checkpoint each encoder layer: recompute in backward instead of
     # saving attention/FFN residuals.  Off by default (measured 25% SLOWER
     # at the flagship size on v5e — recompute exceeds the saved traffic);

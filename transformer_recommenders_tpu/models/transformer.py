@@ -214,6 +214,34 @@ def _attention(
         )
         return _dense(ctx.astype(dtype), p["out"], dtype)
 
+    bias = jnp.where(key_mask[:, None, None, :], 0.0, _NEG_INF)  # mask padded keys
+    if cfg.is_decoder:
+        causal = jnp.tril(jnp.ones((s, s), jnp.bool_))
+        bias = bias + jnp.where(causal[None, None, :, :], 0.0, _NEG_INF)
+
+    if cfg.attention_impl == "masked":
+        # head-masked full-width contraction (see configs.py): per-head
+        # scores over ALL d channels with head h's channels selected by a
+        # (H, D) 0/1 mask.  Exact: channel c belongs to exactly one head.
+        # Every operand keeps D=lane-width minor — no head-split relayout.
+        hmask = (
+            jax.lax.broadcasted_iota(jnp.int32, (h, d), 1) // dh
+            == jax.lax.broadcasted_iota(jnp.int32, (h, d), 0)
+        ).astype(dtype)
+        qh = q[:, None, :, :] * hmask[None, :, None, :]  # (B, H, S, D)
+        scores = (
+            jnp.einsum("bhsc,btc->bhst", qh, k, preferred_element_type=jnp.float32)
+            * scale
+        )
+        probs = jax.nn.softmax(scores + bias, axis=-1)
+        probs = _dropout(probs, cfg.attention_dropout, rng)
+        ctx_full = jnp.einsum(
+            "bhst,btc->bhsc", probs.astype(dtype), v, preferred_element_type=jnp.float32
+        ).astype(dtype)
+        # recombine heads: select each channel's owning head (exact)
+        ctx = jnp.einsum("bhsc,hc->bsc", ctx_full, hmask)
+        return _dense(ctx, p["out"], dtype)
+
     q = q.reshape(b, s, h, dh)
     k = k.reshape(b, s, h, dh)
     v = v.reshape(b, s, h, dh)
@@ -221,10 +249,6 @@ def _attention(
     scores = jnp.einsum("bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32)
     scores = scores * scale
 
-    bias = jnp.where(key_mask[:, None, None, :], 0.0, _NEG_INF)  # mask padded keys
-    if cfg.is_decoder:
-        causal = jnp.tril(jnp.ones((s, s), jnp.bool_))
-        bias = bias + jnp.where(causal[None, None, :, :], 0.0, _NEG_INF)
     probs = jax.nn.softmax(scores + bias, axis=-1)
     probs = _dropout(probs, cfg.attention_dropout, rng)
 

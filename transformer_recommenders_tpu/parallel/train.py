@@ -34,7 +34,7 @@ from transformer_recommenders_tpu.ops import losses as loss_lib
 from transformer_recommenders_tpu.params import DATA_AXIS, MODEL_AXIS
 from transformer_recommenders_tpu.training.train_state import (
     TrainState,
-    make_optimizer,
+    make_update_fn,
 )
 
 try:
@@ -213,7 +213,7 @@ def make_sharded_train_step(config: TrainConfig, mesh: Mesh, *, full_logs: bool 
     (``parallel.embedding.place_table``); ``batch`` batch-dim sharded.
     See :func:`make_sharded_loss` for the ``full_logs`` semantics.
     """
-    opt = make_optimizer(config)
+    update_fn = make_update_fn(config)
     sharded_loss = make_sharded_loss(config, mesh, full_logs=full_logs)
 
     @jax.jit
@@ -221,9 +221,8 @@ def make_sharded_train_step(config: TrainConfig, mesh: Mesh, *, full_logs: bool 
         (_, logs), grads = jax.value_and_grad(sharded_loss, has_aux=True)(
             state.params, table, batch, rng
         )
-        updates, opt_state = opt.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        logs["grad/global_norm"] = optax.global_norm(grads)
+        params, opt_state, gnorm = update_fn(grads, state.opt_state, state.params)
+        logs["grad/global_norm"] = gnorm
         return TrainState(params, opt_state, state.step + 1), logs
 
     return train_step

@@ -21,7 +21,7 @@ from transformer_recommenders_tpu.models.recommender import compute_embeds
 from transformer_recommenders_tpu.ops import losses as loss_lib
 from transformer_recommenders_tpu.training.train_state import (
     TrainState,
-    make_optimizer,
+    make_update_fn,
 )
 
 
@@ -40,7 +40,7 @@ def make_scanned_train_steps(
     objective to the single-chip scan; ``batches`` must be sharded
     ``P(None, 'data')`` and ``table`` row-sharded.
     """
-    opt = make_optimizer(config)
+    update_fn = make_update_fn(config)
     train_loss = config.train_loss
     from transformer_recommenders_tpu.training.train_state import _fused_objective
 
@@ -86,8 +86,7 @@ def make_scanned_train_steps(
         def body(state, batch):
             step_rng = jax.random.fold_in(rng, state.step)
             (loss, pos_nz), grads = grad_fn(state.params, table, batch, step_rng)
-            updates, opt_state = opt.update(grads, state.opt_state, state.params)
-            params = optax.apply_updates(state.params, updates)
+            params, opt_state, _ = update_fn(grads, state.opt_state, state.params)
             new_state = TrainState(params, opt_state, state.step + 1)
             logs = (loss, pos_nz) if with_logs else (loss,)
             return new_state, logs

@@ -117,9 +117,91 @@ def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
     return opt
 
 
+class FlatAdamWState(NamedTuple):
+    """Optimizer state over ONE flat f32 buffer (first/second moments)."""
+
+    count: jax.Array
+    mu: jax.Array
+    nu: jax.Array
+
+
+def flat_adamw_enabled(config: TrainConfig) -> bool:
+    """The fused flat path covers everything but gradient accumulation
+    (optax.MultiSteps keeps per-leaf accumulators)."""
+    return getattr(config, "accumulate_grad_batches", 1) <= 1
+
+
+def make_flat_adamw(config: TrainConfig):
+    """Fused AdamW over a single flat parameter vector.
+
+    Bit-identical math to ``optax.adamw`` (same bias correction, eps
+    placement, decoupled weight decay, and ``clip_by_global_norm``
+    semantics) but executed as ONE elementwise fusion over one contiguous
+    buffer instead of ~4 ops x ~66 leaves.  Measured on v5e
+    (scripts/ablate_step.py): the per-leaf optax update costs 1.03 ms/step
+    for an 847k-param model whose byte-bound is 0.03 ms — per-fusion fixed
+    overhead, not bandwidth; the flat form removes it.
+
+    Returns ``(init, apply)``:
+      ``init(params) -> FlatAdamWState``
+      ``apply(grads, opt_state, params) -> (new_params, new_opt_state,
+      grad_global_norm)`` (the norm is pre-clip, matching the
+      ``optax.global_norm(grads)`` the step previously logged).
+    """
+    from jax.flatten_util import ravel_pytree
+
+    lr = config.learning_rate
+    wd = config.weight_decay
+    clip = getattr(config, "gradient_clip_val", None)
+    b1, b2, eps = 0.9, 0.999, 1e-8
+
+    def init(params) -> FlatAdamWState:
+        flat, _ = ravel_pytree(params)
+        zeros = jnp.zeros_like(flat)
+        return FlatAdamWState(jnp.zeros((), jnp.int32), zeros, zeros)
+
+    def apply(grads, opt_state: FlatAdamWState, params):
+        g, _ = ravel_pytree(grads)
+        p, unravel = ravel_pytree(params)
+        gnorm = jnp.sqrt(jnp.sum(g * g))
+        if clip:
+            g = g * jnp.where(gnorm < clip, 1.0, clip / gnorm)
+        count = opt_state.count + 1
+        mu = b1 * opt_state.mu + (1.0 - b1) * g
+        nu = b2 * opt_state.nu + (1.0 - b2) * (g * g)
+        cf = count.astype(mu.dtype)
+        mu_hat = mu / (1.0 - b1**cf)
+        nu_hat = nu / (1.0 - b2**cf)
+        update = mu_hat / (jnp.sqrt(nu_hat) + eps) + wd * p
+        new_p = p - lr * update
+        return unravel(new_p), FlatAdamWState(count, mu, nu), gnorm
+
+    return init, apply
+
+
 def init_train_state(config: TrainConfig, params: Any) -> TrainState:
+    if flat_adamw_enabled(config):
+        opt_init, _ = make_flat_adamw(config)
+        opt_state = opt_init(params)
+    else:
+        opt_state = make_optimizer(config).init(params)
+    return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+
+
+def make_update_fn(config: TrainConfig):
+    """``update(grads, opt_state, params) -> (params, opt_state, grad_norm)``
+    — the fused flat AdamW when enabled, else the optax chain."""
+    if flat_adamw_enabled(config):
+        _, apply = make_flat_adamw(config)
+        return apply
     opt = make_optimizer(config)
-    return TrainState(params=params, opt_state=opt.init(params), step=jnp.zeros((), jnp.int32))
+
+    def apply(grads, opt_state, params):
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, optax.global_norm(grads)
+
+    return apply
 
 
 def make_train_step(config: TrainConfig, *, full_logs: bool = True):
@@ -133,7 +215,7 @@ def make_train_step(config: TrainConfig, *, full_logs: bool = True):
     objective (fused kernel when enabled) — none of the 7-loss/statistics
     logging computation.  The trainer uses it on non-logging steps.
     """
-    opt = make_optimizer(config)
+    update_fn = make_update_fn(config)
     loss_names = tuple(loss_lib.LOSS_FNS)
     model_cfg = config  # TrainConfig subclasses ModelConfig
     loss_cfg = config  # ... and LossConfig
@@ -208,9 +290,8 @@ def make_train_step(config: TrainConfig, *, full_logs: bool = True):
         (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, item_table, batch, rng
         )
-        updates, opt_state = opt.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        logs["grad/global_norm"] = optax.global_norm(grads)
+        params, opt_state, gnorm = update_fn(grads, state.opt_state, state.params)
+        logs["grad/global_norm"] = gnorm
         return TrainState(params, opt_state, state.step + 1), logs
 
     return train_step
