@@ -176,6 +176,12 @@ class TrainConfig(LossConfig, ModelConfig):
     # fuse the in-batch loss into a Pallas kernel (no HBM logit matrix);
     # auto-disabled on CPU backends
     use_fused_loss: bool = True
+    # score InfoNCE queries against the count-weighted CATALOG instead of
+    # the gathered negative pool when the catalog is small enough
+    # (ops/fused_table_infonce.py); exact same objective, no pos/neg
+    # gathers or scatter backward.  Auto-gated by table/pool size in
+    # training/train_state.py:_table_loss_enabled
+    use_table_scored_loss: bool = True
     learning_rate: float = 0.001
     weight_decay: float = 0.01
     # clip gradients by global norm before the optimizer update; None/0

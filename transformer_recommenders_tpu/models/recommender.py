@@ -183,6 +183,71 @@ def compute_embeds(
     }
 
 
+def compute_query_embeds(
+    params: Params,
+    cfg: ModelConfig,
+    item_table: jax.Array,
+    history_item_idx: jax.Array,
+    pos_item_idx: jax.Array,
+    neg_item_idx: jax.Array,
+    *,
+    dropout_rng: jax.Array | None = None,
+) -> dict[str, jax.Array]:
+    """:func:`compute_embeds` WITHOUT gathering candidate rows.
+
+    For table-scored losses (``ops/fused_table_infonce.py``): only history
+    rows are looked up (they feed the encoder); positives/negatives stay as
+    INDEX vectors scored against the returned query-space ``table`` inside
+    the loss kernel — the pos/neg gathers and their scatter backward never
+    exist.  Same masks/semantics as :func:`compute_embeds`.
+    """
+    s_max = cfg.max_seq_length
+    hist_t = history_item_idx[:, -s_max:]
+    b, s = hist_t.shape
+    pos_flat = pos_item_idx[:, -s:].reshape(b * s)
+    neg_flat = neg_item_idx[:, -s:].reshape(b * s)
+
+    table_use = item_table
+    projected = False
+    if "input_proj" in params:
+        from transformer_recommenders_tpu.models.transformer import _dense
+
+        table_use = _dense(
+            item_table, params["input_proj"], jnp.dtype(cfg.compute_dtype)
+        )
+        table_use = table_use.at[0].set(0.0)
+        projected = True
+    hist_rows = fast_table_lookup(
+        table_use, hist_t.reshape(-1), compute_dtype=cfg.compute_dtype
+    )
+    out = model_forward(
+        params,
+        cfg,
+        None,
+        item_embeds=hist_rows.reshape(b, s, -1),
+        dropout_rng=dropout_rng,
+        inputs_projected=projected,
+    )
+    query = out["token_embeddings"].reshape(b * s, -1)
+    if cfg.is_normalized:
+        query = query / jnp.clip(
+            jnp.linalg.norm(query, axis=-1, keepdims=True), min=1e-12
+        )
+    attention_mask = out["attention_mask"]
+    neg_valid = attention_mask.reshape(b * s)
+    positive_mask = (pos_flat != 0) & neg_valid
+    return {
+        "query": query,
+        "table": table_use,
+        "pos_idx": pos_flat,
+        "neg_idx": neg_flat,
+        "row_valid": positive_mask,
+        "neg_valid": neg_valid,
+        "attention_mask": attention_mask,
+        "positive_mask": positive_mask.reshape(b, s),
+    }
+
+
 # catalogs up to this size use one-hot MXU-matmul lookups on TPU: XLA's row
 # gather costs ~O(rows) dispatches (~0.5 ms per 8k-row gather on v5e) while
 # the equivalent one-hot matmul is one MXU pass.  Larger catalogs fall back

@@ -55,7 +55,31 @@ def make_scanned_train_steps(
 
     else:
 
+        from transformer_recommenders_tpu.training.train_state import (
+            _table_loss_enabled,
+            _table_objective,
+        )
+
         def loss_fn(params, table, batch, rng):
+            if _table_loss_enabled(
+                config, table.shape[0], batch["history_item_idx"].size
+            ):
+                from transformer_recommenders_tpu.models.recommender import (
+                    compute_query_embeds,
+                )
+
+                qe = compute_query_embeds(
+                    params,
+                    config,
+                    table,
+                    batch["history_item_idx"],
+                    batch["pos_item_idx"],
+                    batch["neg_item_idx"],
+                    dropout_rng=rng,
+                )
+                loss = _table_objective(config, qe)
+                pos_nz = jnp.sum(qe["positive_mask"].astype(jnp.float32))
+                return loss, pos_nz
             embeds = compute_embeds(
                 params,
                 config,

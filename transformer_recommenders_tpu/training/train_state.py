@@ -49,6 +49,42 @@ def _fused_loss_enabled(config: TrainConfig) -> bool:
 
 
 
+def _table_loss_enabled(config: TrainConfig, n_table_rows: int, pool_rows: int) -> bool:
+    """Table-scored InfoNCE (``ops/fused_table_infonce.py``) pays off when
+    the catalog is not much larger than the shared pool: the (R, N) matmul
+    replaces the (R, Rn) one AND the 2R pos/neg gathers + scatter-bwd
+    disappear.  VMEM bound: the kernel keeps the whole query-space table
+    (bf16) + an (N, D) f32 grad accumulator resident."""
+    if not _fused_loss_enabled(config):
+        return False
+    if config.train_loss != "InfoNCELoss":
+        return False
+    if not getattr(config, "use_table_scored_loss", True):
+        return False
+    d = config.hidden_size
+    # bwd residency: bf16 table (2) + f32 dense d(table) out block (4)
+    # + (tile_rows, N) f32 score tile; 16 MB/core VMEM, leave headroom
+    vmem_bytes = n_table_rows * d * 6 + 128 * n_table_rows * 4
+    return n_table_rows <= 2 * pool_rows and vmem_bytes <= 13_000_000
+
+
+def _table_objective(config: TrainConfig, qe, counts=None):
+    """Objective on :func:`compute_query_embeds` output via the
+    table-scored kernel.  ``counts`` overrides the local histogram (the
+    sharded trainer passes the psum-reduced global pool counts)."""
+    from transformer_recommenders_tpu.ops.fused_table_infonce import (
+        fused_table_infonce_loss,
+    )
+
+    return fused_table_infonce_loss(
+        qe["query"], qe["table"], qe["pos_idx"], qe["neg_idx"],
+        qe["row_valid"], qe["neg_valid"],
+        scale=config.scale,
+        mask_false_negatives=config.mask_false_negatives,
+        counts=counts,
+    )
+
+
 def _fused_objective(config: TrainConfig, embeds, neg_pool=None, neg_valid=None):
     """Fused Pallas objective for the configured train loss, or None when no
     kernel covers it (hard-negative mining, NCE/alignment heads, CPU)."""
@@ -222,6 +258,24 @@ def make_train_step(config: TrainConfig, *, full_logs: bool = True):
     use_fused = _fused_loss_enabled(config)
 
     def loss_fn(params, item_table, batch, rng):
+        if not full_logs and _table_loss_enabled(
+            config, item_table.shape[0], batch["history_item_idx"].size
+        ):
+            from transformer_recommenders_tpu.models.recommender import (
+                compute_query_embeds,
+            )
+
+            qe = compute_query_embeds(
+                params,
+                model_cfg,
+                item_table,
+                batch["history_item_idx"],
+                batch["pos_item_idx"],
+                batch["neg_item_idx"],
+                dropout_rng=rng,
+            )
+            objective = _table_objective(config, qe)
+            return objective, {f"loss/{config.train_loss}": objective}
         embeds = compute_embeds(
             params,
             model_cfg,
