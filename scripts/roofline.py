@@ -49,10 +49,12 @@ def component_table() -> list[dict]:
         "flops": proj_flops, "bytes": proj_bytes,
     })
 
-    # 2. lookups: 3 gathers of R rows from the projected (4097, 128) table
-    lookup_bytes = 3 * (R * D * BF16 * 2)  # read rows + write gathered
+    # 2. lookup: ONE gather of R history rows from the projected (4097, 128)
+    #    table (the table-scored loss keeps pos/neg as index vectors —
+    #    ops/fused_table_infonce.py; was 3x R before round 2)
+    lookup_bytes = R * D * BF16 * 2  # read rows + write gathered
     rows.append({
-        "component": "3x embedding lookup (8192 rows x 128, bf16)",
+        "component": "1x history lookup (8192 rows x 128, bf16)",
         "flops": 0.0, "bytes": lookup_bytes,
     })
 
@@ -75,15 +77,19 @@ def component_table() -> list[dict]:
         "flops": 2 * enc_fwd, "bytes": 2 * enc_bytes,
     })
 
-    # 4. fused InfoNCE: logits matmul R x R x D fwd; bwd recomputes logits
-    #    and runs two more R x R x D matmuls (dQ, dN)
-    loss_fwd = 2 * R * R * D
-    loss_bwd = 3 * 2 * R * R * D
-    loss_io = 5 * R * D * BF16  # q, p, n in; dq/dp/dn out (pool never in HBM)
-    rows.append({"component": "fused InfoNCE fwd (8192x8192x128)",
-                 "flops": loss_fwd, "bytes": loss_io})
-    rows.append({"component": "fused InfoNCE bwd (recompute + dQ + dN)",
-                 "flops": loss_bwd, "bytes": 2 * loss_io})
+    # 4. table-scored fused InfoNCE (ops/fused_table_infonce.py): logits
+    #    matmul R x Np x D fwd (Np = catalog padded to 128); bwd recomputes
+    #    logits and runs dQ (R x Np x D) + dT (Np x R x D); the negative-
+    #    pool histogram is an R x Np compare-reduce on the VPU (fused by
+    #    XLA, no HBM materialization)
+    NP = -(-(N_ITEMS + 1) // 128) * 128
+    loss_fwd = 2 * R * NP * D
+    loss_bwd = 3 * 2 * R * NP * D
+    loss_io = 2 * (R + NP) * D * BF16  # q + table in; dq + dense dT out
+    rows.append({"component": f"table-scored InfoNCE fwd (8192x{NP}x128)",
+                 "flops": loss_fwd, "bytes": loss_io / 2})
+    rows.append({"component": "table-scored InfoNCE bwd (recompute + dQ + dT)",
+                 "flops": loss_bwd, "bytes": loss_io})
 
     # 5. AdamW: read params+grads+m+v, write params+m+v (f32 masters)
     n_params = (

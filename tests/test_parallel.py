@@ -362,6 +362,123 @@ def test_sharded_fast_step_matches_full_objective(mesh2x4):
     assert "batch/positive_non_zero" in fast_logs
 
 
+def _patch_table_branch(monkeypatch):
+    """Force the table-scored fast path on the CPU mesh: enable the fused
+    gate and run the kernel in interpret mode with exact f32 matmuls (same
+    pattern as tests/test_fused_table_infonce.py)."""
+    from transformer_recommenders_tpu.ops import fused_table_infonce as FT
+    from transformer_recommenders_tpu.training import train_state as TS
+
+    monkeypatch.setattr(TS, "_fused_loss_enabled", lambda c: True)
+    monkeypatch.setattr(FT, "_MATMUL_DTYPE", jnp.float32)
+    orig = FT.fused_table_infonce_loss
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        kw["tile_rows"] = 16
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(FT, "fused_table_infonce_loss", interp)
+
+
+@pytest.mark.parametrize("mesh_name", ["mesh2x4", "mesh8x1"])
+def test_sharded_fast_step_table_branch_matches_pool(
+    mesh_name, request, monkeypatch
+):
+    """The sharded fast step routes small-catalog InfoNCE through the
+    table-scored kernel (psum'd global pool counts + model-axis table
+    all-gather) and must equal the pool-based sharded objective AND the
+    single-device table-branch loss — the distributed-invariant global
+    negative pool realized as one (N,) count psum."""
+    from transformer_recommenders_tpu.parallel.train import make_sharded_loss
+    from transformer_recommenders_tpu.training import train_state as TS
+
+    mesh = request.getfixturevalue(mesh_name)
+    cfg, params, table, batch = _make_setup()
+    # disjoint pos/neg ranges: duplicates of a row's positive in the pool
+    # tie exactly in the kernel's one-matmul layout but by 1 ulp in the XLA
+    # path's elementwise pos logits (see tests/test_fused_table_infonce.py)
+    n_items = table.shape[0] - 1
+    half = n_items // 2
+    batch["pos_item_idx"] = RNG.integers(
+        1, half + 1, size=batch["pos_item_idx"].shape
+    ).astype(np.int32)
+    batch["neg_item_idx"] = RNG.integers(
+        half + 1, n_items + 1, size=batch["neg_item_idx"].shape
+    ).astype(np.int32)
+    batch["history_item_idx"][-1] = 0  # keep a padded row
+
+    placed_table = pemb.place_table(table, mesh)
+    sh_batch = pmesh.shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+    rng = jax.random.key(5)
+
+    pool_loss, _ = jax.jit(make_sharded_loss(cfg, mesh, full_logs=True))(
+        params, placed_table, sh_batch, rng
+    )
+
+    _patch_table_branch(monkeypatch)
+    assert TS._table_loss_enabled(
+        cfg, table.shape[0], batch["history_item_idx"].size
+    )
+    fast = make_sharded_loss(cfg, mesh, full_logs=False)
+    table_loss, fast_logs = jax.jit(fast)(params, placed_table, sh_batch, rng)
+
+    np.testing.assert_allclose(float(table_loss), float(pool_loss), rtol=1e-5)
+    assert "batch/positive_non_zero" in fast_logs
+
+    # single-device table branch agrees too
+    single = TS.make_train_step(cfg, full_logs=False)
+    _, single_logs = single(
+        init_train_state(cfg, params), jnp.asarray(table), batch, rng
+    )
+    np.testing.assert_allclose(
+        float(fast_logs["loss/InfoNCELoss"]),
+        float(single_logs["loss/InfoNCELoss"]),
+        rtol=1e-5,
+    )
+
+
+def test_sharded_fast_step_table_branch_grads_match_pool(mesh2x4, monkeypatch):
+    """Gradients through the table branch (dense d(table) reduce-scattered
+    to shards -> input_proj via the local projection) equal the pool-path
+    gradients.  Uses a projected table (input_dim != hidden) so the
+    all-gather transpose actually carries gradient."""
+    from transformer_recommenders_tpu.parallel.train import make_sharded_loss
+    from transformer_recommenders_tpu.training import train_state as TS
+
+    cfg, params, table, batch = _make_setup(d=16)
+    cfg = cfg.model_copy(update={"input_dim": 24, "hidden_size": 16})
+    params = init_transformer_params(jax.random.key(0), cfg)
+    table = RNG.normal(size=(41, 24)).astype(np.float32)
+    table[0] = 0
+    n_items = 40
+    half = n_items // 2
+    batch["pos_item_idx"] = RNG.integers(
+        1, half + 1, size=batch["pos_item_idx"].shape
+    ).astype(np.int32)
+    batch["neg_item_idx"] = RNG.integers(
+        half + 1, n_items + 1, size=batch["neg_item_idx"].shape
+    ).astype(np.int32)
+
+    placed_table = pemb.place_table(table, mesh2x4)
+    sh_batch = pmesh.shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh2x4)
+    rng = jax.random.key(5)
+
+    def grads_of(loss_fn):
+        g = jax.jit(
+            jax.grad(lambda p: loss_fn(p, placed_table, sh_batch, rng)[0])
+        )(params)
+        return jax.tree.leaves(g)
+
+    pool_grads = grads_of(make_sharded_loss(cfg, mesh2x4, full_logs=True))
+    _patch_table_branch(monkeypatch)
+    table_grads = grads_of(make_sharded_loss(cfg, mesh2x4, full_logs=False))
+    for a, b_ in zip(pool_grads, table_grads):
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), rtol=5e-4, atol=5e-5
+        )
+
+
 def test_scanned_sharded_matches_looped_sharded(mesh8x1):
     """K scanned sharded steps == K looped sharded steps (scan dispatch
     changes nothing but the host/program structure); and the first scanned

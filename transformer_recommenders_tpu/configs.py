@@ -81,6 +81,12 @@ class ModelConfig(pydantic.BaseModel):
     # one head, so recombination is a select, not a sum).  Measured on v5e
     # at the flagship shape: 3.99 -> 3.66 ms/step
     attention_impl: Literal["split", "masked"] = "masked"
+    # NOTE: attention-core-only remat (jax.checkpoint around scores ->
+    # softmax -> dropout -> PV, recomputing the (B,H,S,S) f32 probs in the
+    # backward) was measured and rejected: 3.10 -> 3.42 ms/step at the
+    # flagship seq-32 shape and a wash (10.45 -> 10.48 ms) at the seq-128
+    # config-#4 shape (scripts/bench_remat_attention.py) — the probs
+    # staging DMAs overlap compute, so the serial recompute never pays
     # jax.checkpoint each encoder layer: recompute in backward instead of
     # saving attention/FFN residuals.  Off by default (measured 25% SLOWER
     # at the flagship size on v5e — recompute exceeds the saved traffic);

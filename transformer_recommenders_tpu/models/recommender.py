@@ -192,6 +192,7 @@ def compute_query_embeds(
     neg_item_idx: jax.Array,
     *,
     dropout_rng: jax.Array | None = None,
+    table_projected: bool = False,
 ) -> dict[str, jax.Array]:
     """:func:`compute_embeds` WITHOUT gathering candidate rows.
 
@@ -200,6 +201,11 @@ def compute_query_embeds(
     INDEX vectors scored against the returned query-space ``table`` inside
     the loss kernel — the pos/neg gathers and their scatter backward never
     exist.  Same masks/semantics as :func:`compute_embeds`.
+
+    ``table_projected=True`` marks ``item_table`` as already in query space
+    (the sharded trainer projects each table shard locally and all-gathers
+    the result over the model axis, so ``input_proj``'s gradient flows
+    through the shard-local projection).
     """
     s_max = cfg.max_seq_length
     hist_t = history_item_idx[:, -s_max:]
@@ -208,8 +214,8 @@ def compute_query_embeds(
     neg_flat = neg_item_idx[:, -s:].reshape(b * s)
 
     table_use = item_table
-    projected = False
-    if "input_proj" in params:
+    projected = table_projected
+    if "input_proj" in params and not table_projected:
         from transformer_recommenders_tpu.models.transformer import _dense
 
         table_use = _dense(

@@ -88,6 +88,59 @@ def make_sharded_loss(config: TrainConfig, mesh: Mesh, *, full_logs: bool = True
             first_row = jnp.where(shard_id == 0, 0.0, 1.0)
             table_shard = table_shard.at[0].multiply(first_row)
 
+        if not full_logs:
+            from transformer_recommenders_tpu.training.train_state import (
+                _table_loss_enabled,
+                _table_objective,
+            )
+
+            n_model = mesh.shape[MODEL_AXIS]
+            n_data = mesh.shape[DATA_AXIS]
+            n_global = table_shard.shape[0] * n_model
+            pool_global = batch["history_item_idx"].size * n_data
+            if _table_loss_enabled(config, n_global, pool_global):
+                # table-scored fast path: all-gather the (already projected)
+                # query-space table over the model axis — N*D bf16, tiny on
+                # ICI — then psum ONE (N,) count vector over the data axis
+                # instead of all-gathering the (Rn, D) negative pool.  The
+                # kernel's dense d(table) reduce-scatters back to the local
+                # shard (shard_map transposes the all_gather), flowing into
+                # input_proj grads through the shard-local projection.
+                from transformer_recommenders_tpu.models.recommender import (
+                    compute_query_embeds,
+                )
+                from transformer_recommenders_tpu.ops.fused_table_infonce import (
+                    neg_pool_counts,
+                )
+
+                full_table = jax.lax.all_gather(
+                    table_shard, MODEL_AXIS, tiled=True
+                )
+                qe = compute_query_embeds(
+                    params,
+                    config,
+                    full_table,
+                    batch["history_item_idx"],
+                    batch["pos_item_idx"],
+                    batch["neg_item_idx"],
+                    dropout_rng=rng,
+                    table_projected=projected,
+                )
+                local_counts = neg_pool_counts(
+                    qe["neg_idx"], qe["neg_valid"], n_global
+                )
+                counts = jax.lax.psum(local_counts, DATA_AXIS)
+                objective = jax.lax.psum(
+                    _table_objective(config, qe, counts=counts), DATA_AXIS
+                )
+                pos_nz = jax.lax.psum(
+                    jnp.sum(qe["positive_mask"].astype(jnp.float32)), DATA_AXIS
+                )
+                return objective, {
+                    f"loss/{train_loss}": objective,
+                    "batch/positive_non_zero": pos_nz,
+                }
+
         lookup = lambda idx: _sharded_lookup_local(table_shard, idx)  # noqa: E731
         embeds = compute_embeds(
             params,
