@@ -188,6 +188,12 @@ def _patch_grad_passthrough(monkeypatch):
 
     monkeypatch.setattr(TS, "make_update_fn", passthrough)
     monkeypatch.setattr(SS, "make_update_fn", passthrough)
+    # the flat-carry scan takes the flat-update seam instead
+    monkeypatch.setattr(
+        TS,
+        "make_flat_update",
+        lambda config: lambda p, g, opt_state: (g, opt_state, 0.0),
+    )
 
 
 def _patch_table_path(monkeypatch):

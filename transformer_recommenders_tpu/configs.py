@@ -79,14 +79,18 @@ class ModelConfig(pydantic.BaseModel):
     # exists; costs num_heads x redundant MACs on the underfilled MXU
     # (trivial) and is numerically EXACT (each channel belongs to exactly
     # one head, so recombination is a select, not a sum).  Measured on v5e
-    # at the flagship shape: 3.99 -> 3.66 ms/step
-    attention_impl: Literal["split", "masked"] = "masked"
+    # at the flagship shape: 3.99 -> 3.66 ms/step.  The redundant MACs grow
+    # as H*S^2*d though, so at the seq-128 config-#4 shape "masked" LOSES
+    # (10.45 vs 8.92 ms encoder fwd+bwd) — "auto" picks masked for
+    # seq <= 64 and split above (both crossover measurements in
+    # BASELINE.md)
+    attention_impl: Literal["auto", "split", "masked"] = "auto"
     # NOTE: attention-core-only remat (jax.checkpoint around scores ->
     # softmax -> dropout -> PV, recomputing the (B,H,S,S) f32 probs in the
     # backward) was measured and rejected: 3.10 -> 3.42 ms/step at the
-    # flagship seq-32 shape and a wash (10.45 -> 10.48 ms) at the seq-128
-    # config-#4 shape (scripts/bench_remat_attention.py) — the probs
-    # staging DMAs overlap compute, so the serial recompute never pays
+    # flagship seq-32 shape and a wash (10.45 vs 10.48 ms) at the seq-128
+    # config-#4 shape — the probs staging DMAs overlap compute, so the
+    # serial recompute never pays
     # jax.checkpoint each encoder layer: recompute in backward instead of
     # saving attention/FFN residuals.  Off by default (measured 25% SLOWER
     # at the flagship size on v5e — recompute exceeds the saved traffic);

@@ -219,7 +219,13 @@ def _attention(
         causal = jnp.tril(jnp.ones((s, s), jnp.bool_))
         bias = bias + jnp.where(causal[None, None, :, :], 0.0, _NEG_INF)
 
-    if cfg.attention_impl == "masked":
+    impl = cfg.attention_impl
+    if impl == "auto":
+        # masked trades H*S^2*d redundant MACs for zero head-split
+        # relayouts: wins at seq 32 (3.99 -> 3.66 ms flagship step), loses
+        # at seq 128 (10.45 vs 8.92 ms config-#4 encoder) — see configs.py
+        impl = "masked" if s <= 64 else "split"
+    if impl == "masked":
         # head-masked full-width contraction (see configs.py): per-head
         # scores over ALL d channels with head h's channels selected by a
         # (H, D) 0/1 mask.  Exact: channel c belongs to exactly one head.

@@ -105,6 +105,51 @@ def make_scanned_train_steps(
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
+    from transformer_recommenders_tpu.training.train_state import (
+        flat_adamw_enabled,
+        make_flat_update,
+    )
+
+    if flat_adamw_enabled(config):
+        # flat-carry scan: the carry holds ONE flat f32 parameter vector
+        # (plus the already-flat AdamW moments) instead of a ~66-leaf
+        # pytree.  Differentiating through unravel() makes the gradient
+        # arrive flat, so the optimizer update is one elementwise fusion
+        # over contiguous buffers and the scan writes 1 carry buffer per
+        # step instead of 66 (measured v5e: the per-leaf carry packing +
+        # ravel/unravel cost ~0.6 ms of the 3.1 ms step)
+        from jax.flatten_util import ravel_pytree
+
+        flat_update = make_flat_update(config)
+
+        @jax.jit
+        def steps(state: TrainState, table, batches, rng):
+            flat0, unravel = ravel_pytree(state.params)
+
+            def body(carry, batch):
+                flat_p, opt_state, step = carry
+                step_rng = jax.random.fold_in(rng, step)
+                (loss, pos_nz), g = jax.value_and_grad(
+                    lambda fp: loss_fn(unravel(fp), table, batch, step_rng),
+                    has_aux=True,
+                )(flat_p)
+                new_p, opt_state, _ = flat_update(flat_p, g, opt_state)
+                logs = (loss, pos_nz) if with_logs else (loss,)
+                return (new_p, opt_state, step + 1), logs
+
+            (flat_p, opt_state, step), logs = jax.lax.scan(
+                body, (flat0, state.opt_state, state.step), batches
+            )
+            state = TrainState(unravel(flat_p), opt_state, step)
+            if with_logs:
+                return state, {
+                    f"loss/{train_loss}": logs[0],
+                    "batch/positive_non_zero": logs[1],
+                }
+            return state, {f"loss/{train_loss}": logs[0]}
+
+        return steps
+
     @jax.jit
     def steps(state: TrainState, table, batches, rng):
         def body(state, batch):

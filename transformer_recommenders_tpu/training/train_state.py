@@ -186,10 +186,7 @@ def make_flat_adamw(config: TrainConfig):
     """
     from jax.flatten_util import ravel_pytree
 
-    lr = config.learning_rate
-    wd = config.weight_decay
-    clip = getattr(config, "gradient_clip_val", None)
-    b1, b2, eps = 0.9, 0.999, 1e-8
+    update = make_flat_update(config)
 
     def init(params) -> FlatAdamWState:
         flat, _ = ravel_pytree(params)
@@ -199,6 +196,22 @@ def make_flat_adamw(config: TrainConfig):
     def apply(grads, opt_state: FlatAdamWState, params):
         g, _ = ravel_pytree(grads)
         p, unravel = ravel_pytree(params)
+        new_p, opt_state, gnorm = update(p, g, opt_state)
+        return unravel(new_p), opt_state, gnorm
+
+    return init, apply
+
+
+def make_flat_update(config: TrainConfig):
+    """``(p_flat, g_flat, opt_state) -> (new_p_flat, new_opt_state, gnorm)``
+    — the flat-to-flat AdamW core shared by :func:`make_flat_adamw` and the
+    scanned driver's flat-carry loop (which never ravels per step)."""
+    lr = config.learning_rate
+    wd = config.weight_decay
+    clip = getattr(config, "gradient_clip_val", None)
+    b1, b2, eps = 0.9, 0.999, 1e-8
+
+    def update(p, g, opt_state: FlatAdamWState):
         gnorm = jnp.sqrt(jnp.sum(g * g))
         if clip:
             g = g * jnp.where(gnorm < clip, 1.0, clip / gnorm)
@@ -208,11 +221,10 @@ def make_flat_adamw(config: TrainConfig):
         cf = count.astype(mu.dtype)
         mu_hat = mu / (1.0 - b1**cf)
         nu_hat = nu / (1.0 - b2**cf)
-        update = mu_hat / (jnp.sqrt(nu_hat) + eps) + wd * p
-        new_p = p - lr * update
-        return unravel(new_p), FlatAdamWState(count, mu, nu), gnorm
+        new_p = p - lr * (mu_hat / (jnp.sqrt(nu_hat) + eps) + wd * p)
+        return new_p, FlatAdamWState(count, mu, nu), gnorm
 
-    return init, apply
+    return update
 
 
 def init_train_state(config: TrainConfig, params: Any) -> TrainState:
