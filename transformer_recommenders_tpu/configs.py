@@ -65,6 +65,16 @@ class ModelConfig(pydantic.BaseModel):
 
     # TPU-first knobs
     compute_dtype: Literal["bfloat16", "float32"] = "bfloat16"
+    # fuse each ENTIRE encoder layer (qkv -> attention -> out -> LN -> FFN
+    # -> LN, dropouts included) into one Pallas program with every
+    # intermediate VMEM-resident; the backward recomputes from the layer
+    # input (ops/fused_layer.py).  The unfused layer stack moves ~50 MB of
+    # HBM traffic per layer at the flagship shape — measured 2.6 ms of the
+    # 3.1 ms step against a 0.2 ms FLOP bound.  Auto-gated: TPU backend,
+    # hidden/intermediate sizes multiples of 128, seq a multiple of 8;
+    # falls back to the XLA layer otherwise.  When active it subsumes
+    # use_pallas_attention/attention_impl/remat_layers
+    use_fused_layer: bool = True
     # fuse QK^T -> softmax -> dropout -> PV into one Pallas kernel per
     # (batch, head) — no (B, H, S, S) probs in HBM (ops/flash_attention.py).
     # Pays off when attention is the quadratic-largest op (seq 128 configs);

@@ -157,6 +157,28 @@ def _dropout(x: jax.Array, rate: float, rng: jax.Array | None) -> jax.Array:
     return jnp.where(h >= threshold, x / (1.0 - rate), 0.0)
 
 
+def _fused_layer_mode(cfg: ModelConfig, s: int) -> str | None:
+    """None -> XLA layer stack; "compiled"/"interpret" -> the full-layer
+    megafusion kernel (``ops/fused_layer.py``).  Shape gate: Mosaic wants
+    128-multiple minor dims and 8-multiple sublanes."""
+    if not getattr(cfg, "use_fused_layer", False):
+        return None
+    if cfg.hidden_size % 128 or cfg.intermediate_size % 128 or s % 8:
+        return None
+    try:
+        return "compiled" if jax.default_backend() != "cpu" else None
+    except RuntimeError:  # pragma: no cover - backend init failure
+        return None
+
+
+def _dropout_site_seeds(keys: jax.Array) -> jax.Array:
+    """Per-site hash seeds from a (3,)-key array — the SAME derivation as
+    ``_dropout`` (data[-1] ^ data[0]*C), so the fused-layer kernel's streams
+    are bit-identical to this module's XLA dropout."""
+    kd = jax.random.key_data(keys).reshape(3, -1).astype(jnp.uint32)
+    return kd[:, -1] ^ (kd[:, 0] * jnp.uint32(0x9E3779B1))
+
+
 def _pallas_attention_mode(cfg: ModelConfig) -> str | None:
     """None -> XLA attention; "compiled"/"interpret" -> the fused Pallas
     kernel (``ops/flash_attention.py``).  Interpret mode exists for CPU
@@ -372,9 +394,30 @@ def transformer_encode(
     # than lax.scan over layers at shallow depth (scan's per-iteration
     # dynamic slices cost more than they save; XLA pipelines the unrolled
     # layers freely).  Deep models can flip to scan via remat_layers later.
+    fused_mode = _fused_layer_mode(cfg, s)
     for i in range(n_layers):
         layer = jax.tree.map(lambda a, i=i: a[i], params["layers"])
-        x = layer_fn(x, layer, layer_keys[i])
+        if fused_mode is not None:
+            from transformer_recommenders_tpu.ops.fused_layer import (
+                fused_layer,
+            )
+
+            seeds = _dropout_site_seeds(layer_keys[i]) if use_dropout else None
+            x = fused_layer(
+                x,
+                layer,
+                attention_mask,
+                num_heads=cfg.num_attention_heads,
+                causal=cfg.is_decoder,
+                attn_dropout=cfg.attention_dropout if use_dropout else 0.0,
+                hidden_dropout=cfg.hidden_dropout if use_dropout else 0.0,
+                dropout_seeds=seeds,
+                ffn_dim=cfg.intermediate_size,
+                layer_norm_eps=cfg.layer_norm_eps,
+                interpret=fused_mode == "interpret",
+            )
+        else:
+            x = layer_fn(x, layer, layer_keys[i])
 
     token_embeddings = x.astype(jnp.float32)
     sentence_embedding = pool_tokens(token_embeddings, attention_mask, cfg.pooling_mode)

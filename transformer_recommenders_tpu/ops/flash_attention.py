@@ -12,12 +12,27 @@ with attention dropout additionally generates + stores a (B, H, S, S)
 random mask in HBM — measured 2.5x the no-dropout step cost at config #4.
 Here dropout is a counter-based hash evaluated in-register.
 
-Grid = (B,): one program per batch element with a static loop over heads.
+Layout: the WIDE (head-masked) formulation — heads are stacked along the
+matmul ROW dimension, never the contraction: per element the kernel builds
+``qw = (H*S, D)`` rows ``(h, s) = q[s] * channel-mask(h)`` in VMEM and
+computes ALL heads' scores with ONE ``(H*S, D) @ (D, S)`` matmul whose
+contraction stays D=128 lanes deep (a per-head ``(S, Dh)`` slice layout
+underfills the MXU at Dh=16-32 and measured 1.5x slower than XLA; the 5-D
+head-split relayout of the classic layout costs ~0.7 ms/step at the
+flagship size — BASELINE.md).  The head recombination is a per-head
+masked sum (channel c belongs to exactly one head, so the sum is a
+select — exact).  ``qw``/probs/ctx exist only in VMEM; the XLA paths
+materialize all three in HBM every layer (~1.5 ms/step marginal at the
+flagship shape, scripts/ablate_marginal.py).
+
+Grid = (B/block,): batch-blocked with a static loop over elements.
 (An earlier (B*H,)-grid variant spent more time on per-program overhead
 than compute — 1024 tiny programs at config #4; see BASELINE.md.)
 
 Backward recomputes probs from the saved q/k/v (flash-attention style:
-cheap MXU FLOPs for HBM bandwidth) in a second kernel producing dq/dk/dv.
+cheap MXU FLOPs for HBM bandwidth) in a second kernel producing dq/dk/dv;
+``dk``/``dv`` come out of single full-depth ``(S, H*S) @ (H*S, D)``
+contractions.
 
 The dropout keep-mask is regenerated bit-identically in the backward from
 the same seed (verified by finite differences in
@@ -83,10 +98,34 @@ def _dropout_keep(seed_ref, stream: jax.Array, shape, rate: float) -> jax.Array:
     return h >= threshold
 
 
-def _head_probs(q, k, bias, seed_ref, stream, *, scale, dropout_rate):
-    """(probs, dropped, keep) for one head's (S, Dh) q/k."""
-    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-    probs = jax.nn.softmax(scores + bias, axis=-1)
+def _hmask(num_heads: int, s: int, d: int, dtype) -> jax.Array:
+    """(H*S, D) 0/1 channel-ownership mask: row (h, s) keeps head h's
+    channels.  Rows within a head block are identical."""
+    hs = num_heads * s
+    dh = d // num_heads
+    row_head = jax.lax.broadcasted_iota(jnp.int32, (hs, d), 0) // s
+    col_head = jax.lax.broadcasted_iota(jnp.int32, (hs, d), 1) // dh
+    return (row_head == col_head).astype(dtype)
+
+
+def _wide(x: jax.Array, num_heads: int) -> jax.Array:
+    """Tile (S, N) -> (H*S, N): head h's block is a copy of x."""
+    return jnp.concatenate([x] * num_heads, axis=0)
+
+
+def _combine(x_wide: jax.Array, hmask: jax.Array, s: int, num_heads: int):
+    """(H*S, D) -> (S, D): select each channel's owning head (exact — the
+    channel mask makes the sum a select)."""
+    acc = x_wide[:s, :] * hmask[:1, :]
+    for h in range(1, num_heads):
+        acc = acc + x_wide[h * s : (h + 1) * s, :] * hmask[h * s : h * s + 1, :]
+    return acc
+
+
+def _elem_probs(qw, k, bias_w, seed_ref, stream, *, scale, dropout_rate):
+    """(probs, dropped, keep) for one element's wide (H*S, D) qw."""
+    scores = jnp.dot(qw, k.T, preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(scores + bias_w, axis=-1)
     if dropout_rate > 0.0:
         keep = _dropout_keep(seed_ref, stream, scores.shape, dropout_rate)
         dropped = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
@@ -98,21 +137,23 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, seed_ref, out_ref,
                 *, num_heads: int, scale: float, causal: bool,
                 dropout_rate: float):
     bt, s, d = q_ref.shape
-    dh = d // num_heads
     base = pl.program_id(0) * bt
+    hmask = _hmask(num_heads, s, d, q_ref.dtype)
     for b in range(bt):
         bias = _bias(mask_ref[b : b + 1], s, causal)
-        for h in range(num_heads):
-            sl = pl.dslice(h * dh, dh)
-            q, k, v = q_ref[b, :, sl], k_ref[b, :, sl], v_ref[b, :, sl]
-            stream = (base + b) * num_heads + h
-            _, dropped, _ = _head_probs(
-                q, k, bias, seed_ref, stream, scale=scale,
-                dropout_rate=dropout_rate,
-            )
-            out_ref[b, :, sl] = jnp.dot(
-                dropped.astype(v.dtype), v, preferred_element_type=jnp.float32
-            ).astype(out_ref.dtype)
+        # non-causal bias is (1, S) and broadcasts against (H*S, S)
+        bias_w = _wide(bias, num_heads) if bias.shape[0] == s else bias
+        k, v = k_ref[b], v_ref[b]
+        qw = _wide(q_ref[b], num_heads) * hmask  # (H*S, D)
+        _, dropped, _ = _elem_probs(
+            qw, k, bias_w, seed_ref, base + b, scale=scale,
+            dropout_rate=dropout_rate,
+        )
+        ctx_w = jnp.dot(
+            dropped.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )  # (H*S, D) — head h's rows only valid on its own channels
+        out_ref[b] = _combine(ctx_w, hmask.astype(jnp.float32), s, num_heads
+                              ).astype(out_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, seed_ref, g_ref,
@@ -120,41 +161,43 @@ def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, seed_ref, g_ref,
                 *, num_heads: int, scale: float, causal: bool,
                 dropout_rate: float):
     bt, s, d = q_ref.shape
-    dh = d // num_heads
     base = pl.program_id(0) * bt
+    hmask = _hmask(num_heads, s, d, q_ref.dtype)
+    hmask_f = hmask.astype(jnp.float32)
     for b in range(bt):
         bias = _bias(mask_ref[b : b + 1], s, causal)
-        for h in range(num_heads):
-            sl = pl.dslice(h * dh, dh)
-            q, k, v = q_ref[b, :, sl], k_ref[b, :, sl], v_ref[b, :, sl]
-            g = g_ref[b, :, sl].astype(jnp.float32)
-            stream = (base + b) * num_heads + h
-            probs, dropped, keep = _head_probs(
-                q, k, bias, seed_ref, stream, scale=scale,
-                dropout_rate=dropout_rate,
-            )
-            # out = D(P) @ V
-            dv_ref[b, :, sl] = jnp.dot(
-                dropped.T.astype(g.dtype), g, preferred_element_type=jnp.float32
-            ).astype(dv_ref.dtype)
-            d_dropped = jnp.dot(
-                g, v.T.astype(g.dtype), preferred_element_type=jnp.float32
-            )
-            if keep is not None:
-                d_probs = jnp.where(keep, d_dropped / (1.0 - dropout_rate), 0.0)
-            else:
-                d_probs = d_dropped
-            # softmax backward: dS = P * (dP - rowsum(dP * P))
-            d_scores = probs * (
-                d_probs - jnp.sum(d_probs * probs, axis=-1, keepdims=True)
-            )
-            d_scores = (d_scores * scale).astype(q.dtype)
-            dq_ref[b, :, sl] = jnp.dot(
-                d_scores, k, preferred_element_type=jnp.float32
-            ).astype(dq_ref.dtype)
-            dk_ref[b, :, sl] = jnp.dot(
-                d_scores.T, q, preferred_element_type=jnp.float32
-            ).astype(dk_ref.dtype)
+        # non-causal bias is (1, S) and broadcasts against (H*S, S)
+        bias_w = _wide(bias, num_heads) if bias.shape[0] == s else bias
+        k, v = k_ref[b], v_ref[b]
+        qw = _wide(q_ref[b], num_heads) * hmask
+        probs, dropped, keep = _elem_probs(
+            qw, k, bias_w, seed_ref, base + b, scale=scale,
+            dropout_rate=dropout_rate,
+        )
+        # d(ctx_w) = g expanded to wide rows, masked to the owning head
+        gw = (_wide(g_ref[b], num_heads).astype(jnp.float32) * hmask_f).astype(
+            v.dtype
+        )
+        # out = combine(D(P) @ V); gw's masking makes both reductions land
+        # each channel on its owning head — full H*S-deep contractions
+        dv_ref[b] = jnp.dot(
+            dropped.T.astype(gw.dtype), gw, preferred_element_type=jnp.float32
+        ).astype(dv_ref.dtype)
+        d_dropped = jnp.dot(gw, v.T, preferred_element_type=jnp.float32)
+        if keep is not None:
+            d_probs = jnp.where(keep, d_dropped / (1.0 - dropout_rate), 0.0)
+        else:
+            d_probs = d_dropped
+        # softmax backward: dS = P * (dP - rowsum(dP * P))
+        d_scores = probs * (
+            d_probs - jnp.sum(d_probs * probs, axis=-1, keepdims=True)
+        )
+        d_scores = (d_scores * scale).astype(q_ref.dtype)
+        dq_w = jnp.dot(d_scores, k, preferred_element_type=jnp.float32)
+        dq_ref[b] = _combine(dq_w, hmask_f, s, num_heads).astype(dq_ref.dtype)
+        dk_ref[b] = jnp.dot(
+            d_scores.T, qw, preferred_element_type=jnp.float32
+        ).astype(dk_ref.dtype)
 
 
 def _specs(s: int, d: int, bt: int):
@@ -166,13 +209,17 @@ def _specs(s: int, d: int, bt: int):
     return qkv, mask, seed
 
 
-def _pick_block_batch(b: int, s: int, d: int) -> int:
+def _pick_block_batch(b: int, s: int, d: int, num_heads: int) -> int:
     """Batch elements per grid step: enough to amortize per-iteration grid
     overhead (dominant at small S — an unblocked (B*H,) variant measured
     2x slower than XLA from overhead alone), bounded by a ~4 MB VMEM
-    budget across the q/k/v/g/dq/dk/dv blocks of the backward kernel."""
-    budget = 4_000_000
-    per_elem = 7 * s * d * 4
+    budget across the q/k/v/g/dq/dk/dv blocks plus the per-element wide
+    transients (qw/gw bf16 + probs-family f32 + ctx f32) of the backward
+    kernel."""
+    budget = 12_000_000
+    hs = num_heads * s
+    wide = 2 * hs * d * 2 + 4 * hs * s * 4 + hs * d * 4
+    per_elem = 7 * s * d * 4 + wide
     bt = max(1, budget // per_elem)
     bt = 1 << (bt.bit_length() - 1)
     while b % bt:
@@ -283,7 +330,7 @@ def flash_attention(
     seed = jnp.asarray(
         dropout_seed if dropout_seed is not None else 0, jnp.int32
     ).reshape(1)
-    bt = _pick_block_batch(b, s, d)
+    bt = _pick_block_batch(b, s, d, num_heads)
     return _flash_attention(
         q, k, v, mask, seed,
         num_heads, scale, causal, float(dropout_rate), interpret, bt,

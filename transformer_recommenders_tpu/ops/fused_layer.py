@@ -1,0 +1,575 @@
+"""Full-encoder-layer megafusion Pallas kernel.
+
+One program computes an ENTIRE post-LN transformer layer for a block of
+batch elements with every intermediate resident in VMEM:
+
+    qkv dense -> wide-layout attention (ops/flash_attention.py formulation)
+    -> out dense -> dropout -> add&LN -> FFN (exact gelu) -> dropout
+    -> add&LN
+
+The unfused XLA layer moves ~50 MB/layer of HBM traffic at the flagship
+shape (B=256, S=32, D=128): every dense/LN/dropout/cast boundary
+materializes a (B, S, D)-or-wider tensor, and the backward re-reads all of
+them as residuals — measured 2.6 ms of the 3.1 ms train step for a layer
+stack whose FLOP bound is ~0.2 ms (scripts/ablate_marginal.py, BASELINE.md
+round 2).  Here a layer reads x (2 MB bf16) + params and writes y (2 MB);
+the backward recomputes the layer from the saved INPUT (flash-attention
+style) and emits dx plus accumulated parameter grads — no intermediate
+ever reaches HBM.
+
+Replaces the reference's per-layer torch BertLayer stack
+(``xfmr_rec/models.py:306-345`` via HF/ATen, SURVEY.md §2.2 row 3).
+
+Numerics match ``models/transformer.py`` exactly, INCLUDING dropout: the
+same counter-hash (murmur3 fmix32 over the global linear element index,
+``transformer._dropout``) is evaluated in-kernel with the same per-site
+seeds, so the fused and XLA paths produce bit-identical streams in f32
+(tested in interpret mode, dropout on and off).  Matmul/cast discipline is
+also identical: matmuls in ``compute_dtype`` with f32 accumulation, LN in
+f32, activations re-narrowed after every dense.
+
+Parameter-grad accumulation uses constant-index output blocks: TPU grid
+iterations run sequentially on a core, so ``@pl.when(i == 0)`` zeroing +
+``+=`` is race-free (same pattern as ops/fused_table_infonce.py's dT).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from transformer_recommenders_tpu.ops.flash_attention import (
+    _bias,
+    _combine,
+    _hmask,
+    _wide,
+)
+from transformer_recommenders_tpu.ops.fused_infonce import _maybe_interpret
+
+_INV_SQRT2 = 1.0 / math.sqrt(2.0)
+_INV_SQRT2PI = 1.0 / math.sqrt(2.0 * math.pi)
+
+
+# ---------------------------------------------------------------------------
+# shared pieces (identical math to models/transformer.py)
+# ---------------------------------------------------------------------------
+
+
+def _keep(seed, idx, rate: float):
+    """Keep mask + inverse scale of ``transformer._dropout``: murmur3
+    fmix32 avalanche over (global linear element index, seed).  ``seed``
+    arrives as int32 (SMEM); same-width int->uint conversion is modular,
+    i.e. a bit-reinterpret."""
+    h = idx * jnp.uint32(0x9E3779B1) + seed.astype(jnp.uint32) * jnp.uint32(
+        0x85EBCA77
+    )
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    threshold = jnp.uint32(min(int(rate * 4294967296.0), 4294967295))
+    return h >= threshold
+
+
+def _hidden_idx(base_row, rows: int, cols: int):
+    """uint32 linear index into the global (B*S, D) activation layout."""
+    r = jax.lax.broadcasted_iota(jnp.uint32, (rows, cols), 0)
+    c = jax.lax.broadcasted_iota(jnp.uint32, (rows, cols), 1)
+    return (base_row.astype(jnp.uint32) + r) * jnp.uint32(cols) + c
+
+
+def _probs_idx(elem, num_heads: int, s: int):
+    """uint32 linear index into the global (B, H, S, S) probs layout for
+    one element's wide (H*S, S) score matrix (row r = h*S + s_q)."""
+    r = jax.lax.broadcasted_iota(jnp.uint32, (num_heads * s, s), 0)
+    t = jax.lax.broadcasted_iota(jnp.uint32, (num_heads * s, s), 1)
+    return (
+        elem.astype(jnp.uint32) * jnp.uint32(num_heads * s * s)
+        + r * jnp.uint32(s)
+        + t
+    )
+
+
+def _ln_fwd(h32, scale, bias, eps: float):
+    """f32 layer norm; returns (normalized*scale+bias, n, rstd) where n is
+    the pre-affine normalized value (needed by the VJP)."""
+    mean = jnp.mean(h32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(h32 - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    n = (h32 - mean) * rstd
+    return n * scale + bias, n, rstd
+
+
+def _ln_bwd(dy32, n, rstd, scale):
+    """VJP of f32 LN w.r.t. its input h.  dh = rstd * (g - mean(g)
+    - n * mean(g * n)) with g = dy * scale; means over the feature dim."""
+    g = dy32 * scale
+    d = g.shape[-1]
+    gm = jnp.sum(g, axis=-1, keepdims=True) / d
+    gnm = jnp.sum(g * n, axis=-1, keepdims=True) / d
+    return rstd * (g - gm - n * gnm)
+
+
+def _erf(x):
+    """f32 erf as the Eigen/XLA rational minimax polynomial
+    (``generic_fast_erf_float`` — what XLA itself lowers ``erf`` to for
+    f32).  Mosaic has no erf primitive; this matches ``jax.lax.erf`` to
+    <5e-7 abs over the full range (validated in tests)."""
+    x = jnp.clip(x, -3.832506856900711, 3.832506856900711)
+    x2 = x * x
+    a = jnp.float32(-2.72614225801306e-10)
+    for c in (2.77068142495902e-08, -2.10102402082508e-06,
+              -5.69250639462346e-05, -7.34990630326855e-04,
+              -2.95459980854025e-03, -1.60960333262415e-02):
+        a = a * x2 + jnp.float32(c)
+    a = a * x
+    b = jnp.float32(-1.45660718464996e-05)
+    for c in (-2.13374055278905e-04, -1.68282697438203e-03,
+              -7.37332916720468e-03, -1.42647390514189e-02):
+        b = b * x2 + jnp.float32(c)
+    return a / b
+
+
+def _gelu(u):
+    return 0.5 * u * (1.0 + _erf(u * _INV_SQRT2))
+
+
+def _gelu_grad(u):
+    phi = jnp.exp(-0.5 * u * u) * _INV_SQRT2PI
+    return 0.5 * (1.0 + _erf(u * _INV_SQRT2)) + u * phi
+
+
+def _matmul(x, w, b, dtype):
+    """transformer._dense: matmul in ``dtype``, f32 accumulation, f32 bias,
+    result narrowed back to ``dtype``."""
+    out = (
+        jnp.dot(x.astype(dtype), w.astype(dtype), preferred_element_type=jnp.float32)
+        + b
+    )
+    return out.astype(dtype)
+
+
+def _attention_wide(q, k, v, bias, hmask, elem, seed, *, num_heads, s, scale,
+                    rate, dtype):
+    """One element's attention in the wide layout; returns (ctx f32 (S, D),
+    probs, dropped, qw) for reuse by the backward."""
+    qw = _wide(q, num_heads) * hmask  # (H*S, D)
+    scores = jnp.dot(qw, k.T, preferred_element_type=jnp.float32) * scale
+    bias_w = _wide(bias, num_heads) if bias.shape[0] == s else bias
+    probs = jax.nn.softmax(scores + bias_w, axis=-1)
+    if rate > 0.0:
+        keep = _keep(seed, _probs_idx(elem, num_heads, s), rate)
+        dropped = jnp.where(keep, probs / (1.0 - rate), 0.0)
+    else:
+        keep = None
+        dropped = probs
+    # XLA path: probs cast to compute dtype for the PV matmul, ctx_full
+    # narrowed, then recombined
+    ctx_w = jnp.dot(
+        dropped.astype(dtype), v, preferred_element_type=jnp.float32
+    ).astype(dtype)
+    ctx = _combine(ctx_w.astype(jnp.float32), hmask.astype(jnp.float32), s,
+                   num_heads)
+    return ctx.astype(dtype), probs, dropped, keep, qw
+
+
+def _layer_fwd_block(x, mask_blk, params, seeds, base_elem, *, num_heads, s,
+                     d, causal, attn_rate, hidden_rate, eps, dtype,
+                     want_residuals: bool):
+    """The full layer for one (bt, S, D) block; everything stays in
+    registers/VMEM.  Returns y plus (when want_residuals) the recomputed
+    intermediates the backward needs."""
+    bt = x.shape[0]
+    rows = bt * s
+    hmask = _hmask(num_heads, s, d, dtype)
+    scale = 1.0 / math.sqrt(d // num_heads)
+
+    xf = x.reshape(rows, d)
+    qkv = _matmul(xf, params["qkv_w"], params["qkv_b"], dtype)  # (rows, 3D)
+    ctx_all = []
+    attn_res = []
+    for b in range(bt):
+        rs = slice(b * s, (b + 1) * s)
+        q = qkv[rs, :d]
+        k = qkv[rs, d : 2 * d]
+        v = qkv[rs, 2 * d :]
+        bias = _bias(mask_blk[b : b + 1], s, causal)
+        ctx, probs, dropped, keep, qw = _attention_wide(
+            q, k, v, bias, hmask, base_elem + b, seeds[0],
+            num_heads=num_heads, s=s, scale=scale, rate=attn_rate,
+            dtype=dtype,
+        )
+        ctx_all.append(ctx)
+        if want_residuals:
+            attn_res.append((probs, dropped, qw, k, v, bias))
+    ctx = jnp.concatenate(ctx_all, axis=0)  # (rows, D)
+
+    a = _matmul(ctx, params["out_w"], params["out_b"], dtype)
+    base_row = base_elem * s
+    if hidden_rate > 0.0:
+        keep2 = _keep(seeds[1], _hidden_idx(base_row, rows, d), hidden_rate)
+        a = jnp.where(keep2, a / (1.0 - hidden_rate), 0.0).astype(dtype)
+    else:
+        keep2 = None
+
+    h1 = (xf + a).astype(jnp.float32)
+    x1f, n1, rstd1 = _ln_fwd(h1, params["ln1_s"], params["ln1_b"], eps)
+    x1 = x1f.astype(dtype)
+
+    u = _matmul(x1, params["ffn_in_w"], params["ffn_in_b"], dtype)
+    g32 = _gelu(u.astype(jnp.float32))
+    g = g32.astype(dtype)
+    f = _matmul(g, params["ffn_out_w"], params["ffn_out_b"], dtype)
+    if hidden_rate > 0.0:
+        keep3 = _keep(seeds[2], _hidden_idx(base_row, rows, d), hidden_rate)
+        f = jnp.where(keep3, f / (1.0 - hidden_rate), 0.0).astype(dtype)
+    else:
+        keep3 = None
+
+    h2 = (x1 + f).astype(jnp.float32)
+    yf, n2, rstd2 = _ln_fwd(h2, params["ln2_s"], params["ln2_b"], eps)
+    y = yf.astype(dtype)
+    if not want_residuals:
+        return y, None
+    return y, {
+        "xf": xf, "qkv": qkv, "ctx": ctx, "keep2": keep2,
+        "n1": n1, "rstd1": rstd1, "x1": x1, "u": u, "g": g, "keep3": keep3,
+        "n2": n2, "rstd2": rstd2, "attn": attn_res,
+    }
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+_PARAM_NAMES = (
+    "qkv_w", "qkv_b", "out_w", "out_b", "ffn_in_w", "ffn_in_b",
+    "ffn_out_w", "ffn_out_b", "ln1_s", "ln1_b", "ln2_s", "ln2_b",
+)
+
+
+def _fwd_kernel(x_ref, mask_ref, seed_ref, *param_refs, out_ref,
+                num_heads, s, d, causal, attn_rate, hidden_rate, eps, dtype):
+    bt = x_ref.shape[0]
+    params = {name: ref[:] for name, ref in zip(_PARAM_NAMES, param_refs)}
+    seeds = [seed_ref[i] for i in range(3)]
+    base_elem = pl.program_id(0) * bt
+    y, _ = _layer_fwd_block(
+        x_ref[:].reshape(bt, s, d), mask_ref, params, seeds, base_elem,
+        num_heads=num_heads, s=s, d=d, causal=causal, attn_rate=attn_rate,
+        hidden_rate=hidden_rate, eps=eps, dtype=dtype, want_residuals=False,
+    )
+    out_ref[:] = y.reshape(bt, s, d).astype(out_ref.dtype)
+
+
+def _bwd_kernel(x_ref, mask_ref, seed_ref, g_ref, *refs,
+                num_heads, s, d, causal, attn_rate, hidden_rate, eps, dtype):
+    param_refs = refs[: len(_PARAM_NAMES)]
+    dx_ref = refs[len(_PARAM_NAMES)]
+    dparam_refs = refs[len(_PARAM_NAMES) + 1 :]
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        for ref in dparam_refs:
+            ref[:] = jnp.zeros_like(ref)
+
+    bt = x_ref.shape[0]
+    rows = bt * s
+    params = {name: ref[:] for name, ref in zip(_PARAM_NAMES, param_refs)}
+    seeds = [seed_ref[i_] for i_ in range(3)]
+    base_elem = i * bt
+    _, res = _layer_fwd_block(
+        x_ref[:].reshape(bt, s, d), mask_ref, params, seeds, base_elem,
+        num_heads=num_heads, s=s, d=d, causal=causal, attn_rate=attn_rate,
+        hidden_rate=hidden_rate, eps=eps, dtype=dtype, want_residuals=True,
+    )
+    dparams = dict.fromkeys(_PARAM_NAMES)
+
+    dy = g_ref[:].reshape(rows, d).astype(jnp.float32)
+    # LN2
+    dparams["ln2_s"] = jnp.sum(dy * res["n2"], axis=0, keepdims=True)
+    dparams["ln2_b"] = jnp.sum(dy, axis=0, keepdims=True)
+    dh2 = _ln_bwd(dy, res["n2"], res["rstd2"], params["ln2_s"])
+    dx1 = dh2
+    df = dh2
+    if res["keep3"] is not None:
+        df = jnp.where(res["keep3"], df / (1.0 - hidden_rate), 0.0)
+    dfm = df.astype(dtype)
+    g_m = res["g"].astype(dtype)
+    dparams["ffn_out_w"] = jnp.dot(
+        g_m.T, dfm, preferred_element_type=jnp.float32
+    )
+    dparams["ffn_out_b"] = jnp.sum(df, axis=0, keepdims=True)
+    dg = jnp.dot(
+        dfm, params["ffn_out_w"].astype(dtype).T,
+        preferred_element_type=jnp.float32,
+    )
+    du = dg * _gelu_grad(res["u"].astype(jnp.float32))
+    dum = du.astype(dtype)
+    x1m = res["x1"].astype(dtype)
+    dparams["ffn_in_w"] = jnp.dot(x1m.T, dum, preferred_element_type=jnp.float32)
+    dparams["ffn_in_b"] = jnp.sum(du, axis=0, keepdims=True)
+    dx1 = dx1 + jnp.dot(
+        dum, params["ffn_in_w"].astype(dtype).T,
+        preferred_element_type=jnp.float32,
+    )
+    # LN1
+    dparams["ln1_s"] = jnp.sum(dx1 * res["n1"], axis=0, keepdims=True)
+    dparams["ln1_b"] = jnp.sum(dx1, axis=0, keepdims=True)
+    dh1 = _ln_bwd(dx1, res["n1"], res["rstd1"], params["ln1_s"])
+    dx0 = dh1
+    da = dh1
+    if res["keep2"] is not None:
+        da = jnp.where(res["keep2"], da / (1.0 - hidden_rate), 0.0)
+    dam = da.astype(dtype)
+    ctxm = res["ctx"].astype(dtype)
+    dparams["out_w"] = jnp.dot(ctxm.T, dam, preferred_element_type=jnp.float32)
+    dparams["out_b"] = jnp.sum(da, axis=0, keepdims=True)
+    dctx = jnp.dot(
+        dam, params["out_w"].astype(dtype).T, preferred_element_type=jnp.float32
+    )
+
+    # attention backward per element (wide layout)
+    hmask = _hmask(num_heads, s, d, dtype)
+    hmask_f = hmask.astype(jnp.float32)
+    scale = 1.0 / math.sqrt(d // num_heads)
+    dqkv = []
+    for b in range(bt):
+        probs, dropped, qw, k, v, bias = res["attn"][b]
+        gctx = dctx[b * s : (b + 1) * s]
+        gw = (_wide(gctx, num_heads) * hmask_f).astype(dtype)
+        dv = jnp.dot(dropped.T.astype(dtype), gw, preferred_element_type=jnp.float32)
+        d_dropped = jnp.dot(gw, v.T, preferred_element_type=jnp.float32)
+        if attn_rate > 0.0:
+            keep1 = _keep(
+                seeds[0], _probs_idx(base_elem + b, num_heads, s), attn_rate
+            )
+            d_probs = jnp.where(keep1, d_dropped / (1.0 - attn_rate), 0.0)
+        else:
+            d_probs = d_dropped
+        d_scores = probs * (
+            d_probs - jnp.sum(d_probs * probs, axis=-1, keepdims=True)
+        )
+        d_scores = (d_scores * scale).astype(dtype)
+        dq_w = jnp.dot(d_scores, k, preferred_element_type=jnp.float32)
+        dq = _combine(dq_w, hmask_f, s, num_heads)
+        dk = jnp.dot(d_scores.T, qw, preferred_element_type=jnp.float32)
+        dqkv.append(jnp.concatenate([dq, dk, dv], axis=1))  # (S, 3D)
+    dqkv = jnp.concatenate(dqkv, axis=0)  # (rows, 3D)
+
+    dqm = dqkv.astype(dtype)
+    xfm = res["xf"].astype(dtype)
+    dparams["qkv_w"] = jnp.dot(xfm.T, dqm, preferred_element_type=jnp.float32)
+    dparams["qkv_b"] = jnp.sum(dqkv, axis=0, keepdims=True)
+    dx0 = dx0 + jnp.dot(
+        dqm, params["qkv_w"].astype(dtype).T, preferred_element_type=jnp.float32
+    )
+
+    dx_ref[:] = dx0.reshape(bt, s, d).astype(dx_ref.dtype)
+    for name, ref in zip(_PARAM_NAMES, dparam_refs):
+        ref[:] += dparams[name].astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call plumbing + custom VJP
+# ---------------------------------------------------------------------------
+
+
+def _flatten_params(layer_params) -> list[jax.Array]:
+    """Layer pytree -> the kernel's flat (2-D) operand list."""
+    p = layer_params
+    return [
+        p["qkv"]["w"], p["qkv"]["b"].reshape(1, -1),
+        p["out"]["w"], p["out"]["b"].reshape(1, -1),
+        p["ffn_in"]["w"], p["ffn_in"]["b"].reshape(1, -1),
+        p["ffn_out"]["w"], p["ffn_out"]["b"].reshape(1, -1),
+        p["ln1"]["scale"].reshape(1, -1), p["ln1"]["bias"].reshape(1, -1),
+        p["ln2"]["scale"].reshape(1, -1), p["ln2"]["bias"].reshape(1, -1),
+    ]
+
+
+def _unflatten_grads(flat, layer_params):
+    it = iter(flat)
+    out = {}
+    out["qkv"] = {"w": next(it), "b": next(it).reshape(-1)}
+    out["out"] = {"w": next(it), "b": next(it).reshape(-1)}
+    out["ffn_in"] = {"w": next(it), "b": next(it).reshape(-1)}
+    out["ffn_out"] = {"w": next(it), "b": next(it).reshape(-1)}
+    out["ln1"] = {"scale": next(it).reshape(-1), "bias": next(it).reshape(-1)}
+    out["ln2"] = {"scale": next(it).reshape(-1), "bias": next(it).reshape(-1)}
+    # cast grads to the param dtypes
+    return jax.tree.map(
+        lambda g, p_: g.astype(p_.dtype), out,
+        {k: layer_params[k] for k in ("qkv", "out", "ffn_in", "ffn_out",
+                                      "ln1", "ln2")},
+    )
+
+
+def _pick_block_batch(b: int, s: int, d: int, f: int, num_heads: int) -> int:
+    """VMEM-bounded batch block: params + dparams (f32) are resident; the
+    per-element attention transients and the (rows, F) FFN tensors scale
+    with the block."""
+    hs = num_heads * s
+    static = 2 * 4 * (3 * d * d + d * d + 2 * d * f + 8 * d)  # params+grads f32
+    wide = 2 * hs * d * 2 + 4 * hs * s * 4 + hs * d * 4
+    per_elem = s * (3 * d + 2 * f + 8 * d) * 4 + wide
+    # 14 MB: bt=16 at the flagship shape (measured 2.33 ms/step vs 2.34 at
+    # bt=8, 2.67 at bt=4); bt=32 exceeds VMEM and fails to compile
+    budget = 14_000_000 - static
+    bt = max(1, budget // max(per_elem, 1))
+    bt = 1 << (bt.bit_length() - 1)
+    while b % bt:
+        bt //= 2
+    return max(bt, 1)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12)
+)
+def _fused_layer(x, mask, seeds, flat_params,
+                 num_heads, s, d, f, causal, attn_rate, hidden_rate, eps,
+                 interpret):
+    return _fwd_call(
+        x, mask, seeds, flat_params, num_heads, s, d, f, causal, attn_rate,
+        hidden_rate, eps, interpret,
+    )
+
+
+def _specs(bt, s, d):
+    x = pl.BlockSpec((bt, s, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    mask = pl.BlockSpec((bt, 1, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    seed = pl.BlockSpec(memory_space=pltpu.SMEM)
+    const = pl.BlockSpec(memory_space=pltpu.VMEM)  # whole-array params
+    return x, mask, seed, const
+
+
+def _fwd_call(x, mask, seeds, flat_params, num_heads, s, d, f, causal,
+              attn_rate, hidden_rate, eps, interpret):
+    b = x.shape[0]
+    bt = _pick_block_batch(b, s, d, f, num_heads)
+    x_spec, mask_spec, seed_spec, const = _specs(bt, s, d)
+    kern = functools.partial(
+        _kernel_entry_fwd, num_heads=num_heads, s=s, d=d, causal=causal,
+        attn_rate=attn_rate, hidden_rate=hidden_rate, eps=eps,
+        dtype=x.dtype,
+    )
+    with _maybe_interpret(interpret):
+        return pl.pallas_call(
+            kern,
+            grid=(b // bt,),
+            in_specs=[x_spec, mask_spec, seed_spec]
+            + [const] * len(flat_params),
+            out_specs=x_spec,
+            out_shape=jax.ShapeDtypeStruct((b, s, d), x.dtype),
+        )(x, mask, seeds, *flat_params)
+
+
+def _kernel_entry_fwd(x_ref, mask_ref, seed_ref, *rest, num_heads, s, d,
+                      causal, attn_rate, hidden_rate, eps, dtype):
+    *param_refs, out_ref = rest
+    _fwd_kernel(
+        x_ref, mask_ref, seed_ref, *param_refs, out_ref=out_ref,
+        num_heads=num_heads, s=s, d=d, causal=causal, attn_rate=attn_rate,
+        hidden_rate=hidden_rate, eps=eps, dtype=dtype,
+    )
+
+
+def _vjp_fwd(x, mask, seeds, flat_params, num_heads, s, d, f, causal,
+             attn_rate, hidden_rate, eps, interpret):
+    y = _fwd_call(
+        x, mask, seeds, flat_params, num_heads, s, d, f, causal, attn_rate,
+        hidden_rate, eps, interpret,
+    )
+    return y, (x, mask, seeds, flat_params)
+
+
+def _vjp_bwd(num_heads, s, d, f, causal, attn_rate, hidden_rate, eps,
+             interpret, residuals, g):
+    x, mask, seeds, flat_params = residuals
+    b = x.shape[0]
+    bt = _pick_block_batch(b, s, d, f, num_heads)
+    x_spec, mask_spec, seed_spec, const = _specs(bt, s, d)
+    kern = functools.partial(
+        _bwd_kernel, num_heads=num_heads, s=s, d=d, causal=causal,
+        attn_rate=attn_rate, hidden_rate=hidden_rate, eps=eps, dtype=x.dtype,
+    )
+    dparam_shapes = [
+        jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in flat_params
+    ]
+    # constant index map -> the grad block stays VMEM-resident across the
+    # whole grid and accumulates in place (grid steps are sequential)
+    dparam_specs = [
+        pl.BlockSpec(p.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for p in flat_params
+    ]
+    with _maybe_interpret(interpret):
+        out = pl.pallas_call(
+            kern,
+            grid=(b // bt,),
+            in_specs=[x_spec, mask_spec, seed_spec, x_spec]
+            + [const] * len(flat_params),
+            out_specs=[x_spec] + dparam_specs,
+            out_shape=[jax.ShapeDtypeStruct((b, s, d), x.dtype)]
+            + dparam_shapes,
+        )(x, mask, seeds, g.astype(x.dtype), *flat_params)
+    dx, *dflat = out
+    return dx, None, None, tuple(
+        dp.astype(p.dtype) for dp, p in zip(dflat, flat_params)
+    )
+
+
+_fused_layer.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def fused_layer(
+    x: jax.Array,
+    layer_params,
+    key_mask: jax.Array,
+    *,
+    num_heads: int,
+    causal: bool,
+    attn_dropout: float = 0.0,
+    hidden_dropout: float = 0.0,
+    dropout_seeds: jax.Array | None = None,
+    ffn_dim: int,
+    layer_norm_eps: float = 1e-12,
+    interpret: bool = False,
+) -> jax.Array:
+    """One fused post-LN transformer layer (see module docstring).
+
+    Args:
+        x: (B, S, D) activations in the compute dtype.
+        layer_params: one layer's pytree (``qkv``/``out``/``ffn_in``/
+            ``ffn_out``/``ln1``/``ln2``), as produced by
+            ``init_transformer_params`` and sliced per layer.
+        key_mask: (B, S) key validity.
+        dropout_seeds: (3,) uint32 site seeds (attention probs, post-attn
+            hidden, post-FFN hidden) — the same derivation as
+            ``transformer._dropout`` so streams match the XLA path exactly.
+
+    Returns:
+        (B, S, D) layer output in the compute dtype.
+    """
+    b, s, d = x.shape
+    if dropout_seeds is None:
+        dropout_seeds = jnp.zeros((3,), jnp.uint32)
+        attn_dropout = 0.0
+        hidden_dropout = 0.0
+    flat = _flatten_params(layer_params)
+    mask = key_mask.astype(jnp.int32).reshape(b, 1, s)
+    seeds_i32 = jax.lax.bitcast_convert_type(
+        dropout_seeds.astype(jnp.uint32), jnp.int32
+    )
+    y = _fused_layer(
+        x, mask, seeds_i32, tuple(flat),
+        num_heads, s, d, ffn_dim, causal, float(attn_dropout),
+        float(hidden_dropout), float(layer_norm_eps), interpret,
+    )
+    return y
