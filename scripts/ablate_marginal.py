@@ -46,11 +46,14 @@ STACKED = {
 def bench_scan(label):
     state = TS.init_train_state(CFG, PARAMS)
     scan = SS.make_scanned_train_steps(CFG, with_logs=True)
+    # the axon tunnel memoizes identical (program, args) dispatches — a
+    # unique key per rep keeps every dispatch real
+    keys = [jax.random.key(100 + i) for i in range(REPS)]
     out = scan(state, TABLE, STACKED, jax.random.key(1))
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(REPS):
-        out = scan(state, TABLE, STACKED, jax.random.key(1))
+    for i in range(REPS):
+        out = scan(state, TABLE, STACKED, keys[i])
     jax.block_until_ready(out)
     ms = (time.perf_counter() - t0) / REPS / K * 1e3
     loss0 = float(out[1][f"loss/{CFG.train_loss}"][0])
@@ -60,6 +63,14 @@ def bench_scan(label):
 
 def main():
     base = bench_scan("baseline (full step)")
+
+    # fused layer -> identity (keeps embedding/lookup/loss/opt)
+    from transformer_recommenders_tpu.ops import fused_layer as FL
+
+    orig_fl = FL.fused_layer
+    FL.fused_layer = lambda x, *a, **k: x
+    no_layers = bench_scan("all 4 fused layers knocked out")
+    FL.fused_layer = orig_fl
 
     orig_attn = T._attention
     T._attention = lambda x, p, cfg, mask, rng=None: x
@@ -93,6 +104,7 @@ def main():
 
     print()
     for name, v in [
+        ("4x fused layers marginal", base - no_layers),
         ("attention marginal", base - no_attn),
         ("ffn marginal", base - no_ffn),
         ("loss kernel marginal", base - no_loss),

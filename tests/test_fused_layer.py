@@ -196,3 +196,10 @@ def test_gate_falls_back_on_unsupported_shapes():
         intermediate_size=128, max_seq_length=8,
     )
     assert T._fused_layer_mode(cfg2, 8) is None  # hidden not 128-multiple
+    cfg3 = ModelConfig(
+        hidden_size=256, num_hidden_layers=1, num_attention_heads=8,
+        intermediate_size=1024, max_seq_length=128,
+    )
+    # seq-128 crossover: the wide layout loses there (measured 10.24 vs
+    # 9.11 ms at config #4) — gate must fall back to the XLA stack
+    assert T._fused_layer_mode(cfg3, 128) is None

@@ -165,6 +165,12 @@ def _fused_layer_mode(cfg: ModelConfig, s: int) -> str | None:
         return None
     if cfg.hidden_size % 128 or cfg.intermediate_size % 128 or s % 8:
         return None
+    # same crossover as attention_impl="auto": the wide layout's H x
+    # redundant score MACs grow with S^2 and the VMEM block shrinks to 1
+    # element — measured WIN at seq 32 (3.10 -> 2.30 ms/step flagship) but
+    # LOSS at seq 128 (10.24 vs 9.11 ms config-#4 encoder fwd+bwd)
+    if s > 64:
+        return None
     try:
         return "compiled" if jax.default_backend() != "cpu" else None
     except RuntimeError:  # pragma: no cover - backend init failure

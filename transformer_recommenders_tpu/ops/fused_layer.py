@@ -31,6 +31,18 @@ f32, activations re-narrowed after every dense.
 Parameter-grad accumulation uses constant-index output blocks: TPU grid
 iterations run sequentially on a core, so ``@pl.when(i == 0)`` zeroing +
 ``+=`` is race-free (same pattern as ops/fused_table_infonce.py's dT).
+
+Rejected variant (measured): fusing ALL L layers + the embedding prologue
+into ONE program pair.  The monolithic backward blows the 16 MB VMEM
+scoped allocation (25.3 MB at any useful batch block — Mosaic keeps the
+unrolled per-layer recompute buffers live simultaneously), and the split
+form (stack forward saving per-layer inputs to HBM + per-layer backward
+kernels) measured 2.45 ms/step vs this per-layer design's 2.30 — the
+extra (L, B, S, D) input round-trips cost more than the saved program
+dispatches.  Also rejected: batched ``dot_general`` over the block's
+batch dim inside the kernel (0.51 ms vs ~0.1 ms for the unrolled
+per-element dots at (16, 256, 128) x (16, 32, 128) — Mosaic's batched-dot
+lowering is slower than its unrolled 2-D dots).
 """
 
 from __future__ import annotations
