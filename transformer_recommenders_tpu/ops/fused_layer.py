@@ -148,13 +148,21 @@ def _erf(x):
     return a / b
 
 
-def _gelu(u):
-    return 0.5 * u * (1.0 + _erf(u * _INV_SQRT2))
+def _gelu(u, erf_u=None):
+    if erf_u is None:
+        erf_u = _erf(u * _INV_SQRT2)
+    return 0.5 * u * (1.0 + erf_u)
 
 
-def _gelu_grad(u):
+def _gelu_grad(u, erf_u=None):
+    """gelu'(u) = Phi(u) + u*phi(u).  ``erf_u`` lets the backward reuse the
+    forward-recompute's erf evaluation — the ~18-instruction rational
+    polynomial over the (rows, F) hidden tile is the single largest VPU
+    term in the kernel (the per-program cost is VPU-issue-bound)."""
+    if erf_u is None:
+        erf_u = _erf(u * _INV_SQRT2)
     phi = jnp.exp(-0.5 * u * u) * _INV_SQRT2PI
-    return 0.5 * (1.0 + _erf(u * _INV_SQRT2)) + u * phi
+    return 0.5 * (1.0 + erf_u) + u * phi
 
 
 def _matmul(x, w, b, dtype):
@@ -235,8 +243,9 @@ def _layer_fwd_block(x, mask_blk, params, seeds, base_elem, *, num_heads, s,
     x1 = x1f.astype(dtype)
 
     u = _matmul(x1, params["ffn_in_w"], params["ffn_in_b"], dtype)
-    g32 = _gelu(u.astype(jnp.float32))
-    g = g32.astype(dtype)
+    u32 = u.astype(jnp.float32)
+    erf_u = _erf(u32 * _INV_SQRT2)
+    g = _gelu(u32, erf_u).astype(dtype)
     f = _matmul(g, params["ffn_out_w"], params["ffn_out_b"], dtype)
     if hidden_rate > 0.0:
         keep3 = _keep(seeds[2], _hidden_idx(base_row, rows, d), hidden_rate)
@@ -251,7 +260,8 @@ def _layer_fwd_block(x, mask_blk, params, seeds, base_elem, *, num_heads, s,
         return y, None
     return y, {
         "xf": xf, "qkv": qkv, "ctx": ctx, "keep2": keep2,
-        "n1": n1, "rstd1": rstd1, "x1": x1, "u": u, "g": g, "keep3": keep3,
+        "n1": n1, "rstd1": rstd1, "x1": x1, "u": u, "erf_u": erf_u,
+        "g": g, "keep3": keep3,
         "n2": n2, "rstd2": rstd2, "attn": attn_res,
     }
 
@@ -323,7 +333,7 @@ def _bwd_kernel(x_ref, mask_ref, seed_ref, g_ref, *refs,
         dfm, params["ffn_out_w"].astype(dtype).T,
         preferred_element_type=jnp.float32,
     )
-    du = dg * _gelu_grad(res["u"].astype(jnp.float32))
+    du = dg * _gelu_grad(res["u"].astype(jnp.float32), res["erf_u"])
     dum = du.astype(dtype)
     x1m = res["x1"].astype(dtype)
     dparams["ffn_in_w"] = jnp.dot(x1m.T, dum, preferred_element_type=jnp.float32)
