@@ -60,6 +60,36 @@ def test_forward_matches_xla(causal):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize(
+    ("s", "d", "h", "f"),
+    [(16, 128, 4, 256), (8, 256, 8, 128), (32, 64, 2, 96)],
+)
+def test_forward_matches_xla_other_shapes(s, d, h, f):
+    """Shape sweep: head widths 16-64, hidden 64-256, ffn not tied to 4d
+    (the TPU gate limits COMPILED use to 128-multiples, but the kernel
+    itself must be shape-generic for interpret-mode tests and future
+    gates)."""
+    cfg = ModelConfig(
+        hidden_size=d, num_hidden_layers=1, num_attention_heads=h,
+        intermediate_size=f, max_seq_length=s, compute_dtype="float32",
+        hidden_dropout=0.0, attention_dropout=0.0,
+    )
+    params = T.init_transformer_params(jax.random.key(1), cfg)
+    layer = jax.tree.map(lambda a: a[0], params["layers"])
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(4, s, d)).astype(np.float32))
+    mask = np.ones((4, s), bool)
+    mask[0, s // 2 :] = False
+    mask = jnp.asarray(mask)
+    ref = _xla_layer(cfg, x, layer, mask)
+    out = fused_layer(
+        x, layer, mask, num_heads=h, causal=True, ffn_dim=f,
+        layer_norm_eps=cfg.layer_norm_eps, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def _probe_loss(fn, probe):
     """A loss that actually depends on the layer input: sum(y^2) of an LN
     output is nearly input-invariant (sum of squared normalized values is
