@@ -479,6 +479,56 @@ def test_sharded_fast_step_table_branch_grads_match_pool(mesh2x4, monkeypatch):
         )
 
 
+def test_sharded_step_with_fused_layer_matches_xla(mesh2x4, monkeypatch):
+    """The full-layer megafusion kernel (interpret mode) inside the
+    sharded shard_map step produces the XLA layer stack's loss and
+    parameter updates — the kernel composes with the mesh collectives."""
+    from transformer_recommenders_tpu.models import transformer as TM
+
+    # tiny dims: the monkeypatched gate bypasses the 128-multiple shape
+    # check, and interpret mode across 8 virtual devices is slow
+    cfg, params, table, batch = _make_setup()
+    # disjoint pos/neg ranges: the false-negative mask compares logits for
+    # EXACT equality, so a pool duplicate of a row's positive lets last-ulp
+    # encoder differences (fused kernel vs XLA) flip the mask and change
+    # the summed loss discretely (same caveat as the table-branch tests)
+    n_items = table.shape[0] - 1
+    half = n_items // 2
+    batch["pos_item_idx"] = RNG.integers(
+        1, half + 1, size=batch["pos_item_idx"].shape
+    ).astype(np.int32)
+    batch["neg_item_idx"] = RNG.integers(
+        half + 1, n_items + 1, size=batch["neg_item_idx"].shape
+    ).astype(np.int32)
+    rng = jax.random.key(7)
+
+    placed_table = pemb.place_table(table, mesh2x4)
+    sh_batch = pmesh.shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh2x4)
+
+    def run():
+        sh_state = place_state(init_train_state(cfg, params), mesh2x4)
+        step = make_sharded_train_step(cfg, mesh2x4)
+        return step(sh_state, placed_table, sh_batch, rng)
+
+    ref_state, ref_logs = run()
+    monkeypatch.setattr(TM, "_fused_layer_mode", lambda c, s: "interpret")
+    fused_state, fused_logs = run()
+
+    np.testing.assert_allclose(
+        float(fused_logs["loss/InfoNCELoss"]),
+        float(ref_logs["loss/InfoNCELoss"]),
+        rtol=1e-5,
+    )
+    # step-1 AdamW normalizes each element to ~+/-lr, amplifying last-ulp
+    # gradient differences; 1e-4 = 10% of one 1e-3 update
+    for a, b_ in zip(
+        jax.tree.leaves(ref_state.params), jax.tree.leaves(fused_state.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), rtol=2e-4, atol=1e-4
+        )
+
+
 def test_scanned_sharded_matches_looped_sharded(mesh8x1):
     """K scanned sharded steps == K looped sharded steps (scan dispatch
     changes nothing but the host/program structure); and the first scanned
