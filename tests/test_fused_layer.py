@@ -62,7 +62,7 @@ def test_forward_matches_xla(causal):
 
 @pytest.mark.parametrize(
     ("s", "d", "h", "f"),
-    [(16, 128, 4, 256), (8, 256, 8, 128), (32, 64, 2, 96)],
+    [(16, 128, 4, 256), (8, 256, 8, 128), (32, 64, 2, 96), (8, 128, 8, 48)],
 )
 def test_forward_matches_xla_other_shapes(s, d, h, f):
     """Shape sweep: head widths 16-64, hidden 64-256, ffn not tied to 4d
@@ -214,13 +214,15 @@ def test_erf_matches_lax():
     )
 
 
-def test_gate_falls_back_on_unsupported_shapes():
-    # intermediate_size not a multiple of 128 (the reference's ffn=48)
+def test_gate_falls_back_on_unsupported_shapes(monkeypatch):
+    # the reference's ffn=48 IS supported (in-kernel zero-padding to 128):
+    # gate opens on a TPU backend
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     cfg = ModelConfig(
         hidden_size=128, num_hidden_layers=1, num_attention_heads=8,
         intermediate_size=48, max_seq_length=8,
     )
-    assert T._fused_layer_mode(cfg, 8) is None
+    assert T._fused_layer_mode(cfg, 8) == "compiled"
     cfg2 = ModelConfig(
         hidden_size=64, num_hidden_layers=1, num_attention_heads=8,
         intermediate_size=128, max_seq_length=8,

@@ -163,7 +163,9 @@ def _fused_layer_mode(cfg: ModelConfig, s: int) -> str | None:
     128-multiple minor dims and 8-multiple sublanes."""
     if not getattr(cfg, "use_fused_layer", False):
         return None
-    if cfg.hidden_size % 128 or cfg.intermediate_size % 128 or s % 8:
+    # intermediate_size needs no check: the kernel zero-pads the FFN width
+    # to the 128-lane boundary (exact — ops/fused_layer.py)
+    if cfg.hidden_size % 128 or s % 8:
         return None
     # same crossover as attention_impl="auto": the wide layout's H x
     # redundant score MACs grow with S^2 and the VMEM block shrinks to 1

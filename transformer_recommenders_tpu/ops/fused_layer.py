@@ -417,23 +417,6 @@ def _flatten_params(layer_params) -> list[jax.Array]:
     ]
 
 
-def _unflatten_grads(flat, layer_params):
-    it = iter(flat)
-    out = {}
-    out["qkv"] = {"w": next(it), "b": next(it).reshape(-1)}
-    out["out"] = {"w": next(it), "b": next(it).reshape(-1)}
-    out["ffn_in"] = {"w": next(it), "b": next(it).reshape(-1)}
-    out["ffn_out"] = {"w": next(it), "b": next(it).reshape(-1)}
-    out["ln1"] = {"scale": next(it).reshape(-1), "bias": next(it).reshape(-1)}
-    out["ln2"] = {"scale": next(it).reshape(-1), "bias": next(it).reshape(-1)}
-    # cast grads to the param dtypes
-    return jax.tree.map(
-        lambda g, p_: g.astype(p_.dtype), out,
-        {k: layer_params[k] for k in ("qkv", "out", "ffn_in", "ffn_out",
-                                      "ln1", "ln2")},
-    )
-
-
 def _pick_block_batch(b: int, s: int, d: int, f: int, num_heads: int) -> int:
     """VMEM-bounded batch block: params + dparams (f32) are resident; the
     per-element attention transients and the (rows, F) FFN tensors scale
@@ -584,6 +567,25 @@ def fused_layer(
         dropout_seeds = jnp.zeros((3,), jnp.uint32)
         attn_dropout = 0.0
         hidden_dropout = 0.0
+    f_pad = -(-ffn_dim // 128) * 128
+    if f_pad != ffn_dim:
+        # zero-pad the FFN width to the 128-lane boundary — EXACT: padded
+        # hidden cols are 0*x + 0 bias, gelu(0) = 0, and the padded
+        # ffn_out rows are 0, so outputs and all real-region grads are
+        # bit-identical (padded-region grads are exactly 0 and jnp.pad's
+        # VJP slices them away).  Lets the reference's ffn=48 config run
+        # the fused kernel at 128/48 = 2.7x trivial extra MACs
+        pad = f_pad - ffn_dim
+        layer_params = dict(layer_params)
+        layer_params["ffn_in"] = {
+            "w": jnp.pad(layer_params["ffn_in"]["w"], ((0, 0), (0, pad))),
+            "b": jnp.pad(layer_params["ffn_in"]["b"], (0, pad)),
+        }
+        layer_params["ffn_out"] = {
+            "w": jnp.pad(layer_params["ffn_out"]["w"], ((0, pad), (0, 0))),
+            "b": layer_params["ffn_out"]["b"],
+        }
+        ffn_dim = f_pad
     flat = _flatten_params(layer_params)
     mask = key_mask.astype(jnp.int32).reshape(b, 1, s)
     seeds_i32 = jax.lax.bitcast_convert_type(
