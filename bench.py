@@ -173,18 +173,29 @@ def bench_retrieval_qps() -> dict:
 
     from transformer_recommenders_tpu.ops.topk import topk_items
 
+    from transformer_recommenders_tpu.ops.topk import normalize_rows
+
     rng = np.random.default_rng(0)
     n_items, d, k = 62_000, 384, 100
-    items = jnp.asarray(rng.normal(size=(n_items, d)).astype(np.float32))
+    # pre-normalized catalog: what DeviceIndex serves (normalize_rows at
+    # index build), so the bench measures the real serving path
+    items = jax.jit(normalize_rows)(
+        jnp.asarray(rng.normal(size=(n_items, d)).astype(np.float32))
+    )
     out = {}
-    fn = jax.jit(lambda q: topk_items(q, items, k)[1])
+    fn = jax.jit(lambda q: topk_items(q, items, k, items_prenormalized=True)[1])
     for qbatch in (1, 32, 256):
-        q = jnp.asarray(rng.normal(size=(qbatch, d)).astype(np.float32))
-        fn(q).block_until_ready()
-        t0 = time.time()
         reps = 50
-        for _ in range(reps):
-            idx = fn(q)
+        # a distinct query per rep: the axon tunnel memoizes identical
+        # (program, args) dispatches (see BASELINE.md)
+        qs = [
+            jnp.asarray(rng.normal(size=(qbatch, d)).astype(np.float32))
+            for _ in range(reps)
+        ]
+        fn(qs[0]).block_until_ready()
+        t0 = time.time()
+        for i in range(reps):
+            idx = fn(qs[i])
         idx.block_until_ready()
         dt = time.time() - t0
         out[f"qps_batch{qbatch}"] = round(qbatch * reps / dt, 1)

@@ -19,11 +19,20 @@ import jax.numpy as jnp
 _NEG_INF = jnp.float32(-jnp.inf)
 
 
+def normalize_rows(x) -> jax.Array:
+    """L2-normalize catalog rows ONCE at index-build time: per-query
+    re-normalization of an N x D catalog costs ~2 full passes of HBM
+    traffic (0.25 ms at 62k x 384) that dominated single-query latency."""
+    x = jnp.asarray(x, jnp.float32)
+    return x / jnp.clip(jnp.linalg.norm(x, axis=-1, keepdims=True), min=1e-12)
+
+
 def score_items(
     queries: jax.Array,
     item_embeddings: jax.Array,
     *,
     metric: str = "cosine",
+    items_prenormalized: bool = False,
 ) -> jax.Array:
     """Scores of every catalog item for each query.
 
@@ -33,6 +42,9 @@ def score_items(
         metric: "cosine" (reference LanceIndex default,
             ``xfmr_rec/index.py:35-47``; score = cosine similarity, matching
             the reference's 1 - cosine_distance) or "dot".
+        items_prenormalized: the catalog rows are already unit-norm
+            (``normalize_rows`` at index build) — skip the per-call
+            normalization sweep.
 
     Returns:
         (U, N) float32 scores.
@@ -41,7 +53,8 @@ def score_items(
     t = item_embeddings.astype(jnp.float32)
     if metric == "cosine":
         q = q / jnp.clip(jnp.linalg.norm(q, axis=-1, keepdims=True), min=1e-12)
-        t = t / jnp.clip(jnp.linalg.norm(t, axis=-1, keepdims=True), min=1e-12)
+        if not items_prenormalized:
+            t = normalize_rows(t)
     return jnp.dot(q, t.T, preferred_element_type=jnp.float32)
 
 
@@ -67,6 +80,7 @@ def topk_items(
     *,
     exclude_idx: jax.Array | None = None,
     metric: str = "cosine",
+    items_prenormalized: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k retrieval with exclusion.
 
@@ -74,7 +88,10 @@ def topk_items(
     Parity: ``LanceIndex.search`` semantics (``xfmr_rec/index.py:214-255``)
     — prefilter excluded ids, return k best by cosine score.
     """
-    scores = score_items(queries, item_embeddings, metric=metric)
+    scores = score_items(
+        queries, item_embeddings, metric=metric,
+        items_prenormalized=items_prenormalized,
+    )
     if exclude_idx is not None:
         scores = mask_excluded(scores, exclude_idx)
     top_scores, top_cols = jax.lax.top_k(scores, k)

@@ -37,12 +37,16 @@ def _local_topk(
     k: int,
     metric: str,
     num_items: int,
+    items_prenormalized: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     rows = item_shard.shape[0]
     shard_id = jax.lax.axis_index(MODEL_AXIS)
     lo = shard_id * rows
 
-    scores = score_items(queries, item_shard, metric=metric)  # (U, rows)
+    scores = score_items(
+        queries, item_shard, metric=metric,
+        items_prenormalized=items_prenormalized,
+    )  # (U, rows)
     # mask mesh-padding rows (global row >= num_items)
     col_global = lo + jax.lax.broadcasted_iota(jnp.int32, (1, rows), 1)
     scores = jnp.where(col_global < num_items, scores, _NEG_INF)
@@ -82,6 +86,7 @@ def sharded_topk(
     metric: str = "cosine",
     query_spec: P = P(),
     num_items: int | None = None,
+    items_prenormalized: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact top-k over a row-sharded catalog.
 
@@ -102,7 +107,9 @@ def sharded_topk(
     if exclude_idx is None:
         exclude_idx = jnp.zeros((queries.shape[0], 1), jnp.int32)
     fn = functools.partial(
-        _local_topk, k=k, metric=metric, num_items=num_items or item_embeddings.shape[0]
+        _local_topk, k=k, metric=metric,
+        num_items=num_items or item_embeddings.shape[0],
+        items_prenormalized=items_prenormalized,
     )
     out_spec = P(*query_spec, None)
     return shard_map(
