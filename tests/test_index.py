@@ -125,3 +125,28 @@ def test_device_index_with_mesh(records, embeddings):
     r1 = sharded.search(q, exclude_item_ids=["i3"], top_k=7)
     r2 = plain.search(q, exclude_item_ids=["i3"], top_k=7)
     assert [r["item_id"] for r in r1] == [r["item_id"] for r in r2]
+
+
+def test_prenormalized_scores_match_cosine():
+    """score_items with a pre-normalized catalog (what DeviceIndex stores)
+    equals the on-the-fly cosine path."""
+    import jax.numpy as jnp
+
+    from transformer_recommenders_tpu.ops.topk import normalize_rows, score_items
+
+    rng = np.random.default_rng(3)
+    items = jnp.asarray(rng.normal(size=(50, 16)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(4, 16)).astype(np.float32))
+    ref = score_items(q, items, metric="cosine")
+    pre = score_items(
+        q, normalize_rows(items), metric="cosine", items_prenormalized=True
+    )
+    np.testing.assert_allclose(np.asarray(pre), np.asarray(ref), rtol=1e-6,
+                               atol=1e-6)
+    # double-normalization is idempotent (save/load of a normalized index)
+    twice = score_items(
+        q, normalize_rows(normalize_rows(items)), metric="cosine",
+        items_prenormalized=True,
+    )
+    np.testing.assert_allclose(np.asarray(twice), np.asarray(ref), rtol=1e-6,
+                               atol=1e-6)
