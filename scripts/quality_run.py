@@ -76,6 +76,7 @@ def main() -> None:
     trainer = Trainer(config, SeqDataModule(data_config), log_dir="/tmp/xrt_quality_logs")
     result = trainer.fit()
     test = trainer.test()
+    trainer.close()
     payload = {
         "config": "reference-equivalent (1L d=384 ffn=48 seq=32, InfoNCE) on synthetic ML-1M shape",
         "epochs": args.epochs,

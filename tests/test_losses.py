@@ -284,3 +284,29 @@ def test_logits_statistics_match_reference_oracle(cfg):
         np.testing.assert_allclose(
             float(stats[key]), want, rtol=1e-5, atol=1e-6, err_msg=key
         )
+
+
+def test_logits_std_no_catastrophic_cancellation():
+    """Variance of large-mean/small-std logits (InfoNCE at scale 20) must
+    not collapse to 0 — the one-pass sumsq - n*mean^2 formula lost all
+    significant digits in f32 (round-2 review finding); the moments now
+    carry a local two-pass SSE."""
+    rng = np.random.default_rng(0)
+    n, d = 8192, 8
+    true_std = 0.1
+    pos_logits = (15.0 + true_std * rng.standard_normal(n)).astype(np.float32)
+    # build embeddings whose dot product realizes exactly these logits:
+    # q = e1 * logit, pos = e1
+    q = np.zeros((n, d), np.float32)
+    q[:, 0] = pos_logits
+    p = np.zeros((n, d), np.float32)
+    p[:, 0] = 1.0
+    negs = rng.standard_normal((n, d)).astype(np.float32) * 0.01
+    cfg = LossConfig()
+    m = L.logits_statistics_moments(
+        cfg, jnp.asarray(q), jnp.asarray(p), jnp.asarray(negs),
+        jnp.ones((n,), bool), jnp.ones((n,), bool),
+    )
+    stats = L.finish_logits_statistics(m)
+    std = float(stats["logits/pos/std"])
+    assert abs(std - true_std) < 0.02 * true_std, std

@@ -542,3 +542,66 @@ def test_flat_adamw_checkpoint_roundtrip(tmp_path):
     assert int(restored.opt_state.count) == 7
     for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_epoch_end_validation_dedup_preserves_patience(tiny_modules):
+    """When val_check_interval lands exactly on the last train step of an
+    epoch, the epoch-end validation must NOT re-score the same params — the
+    tied monitor would burn early-stopping patience every epoch (round-2
+    review finding)."""
+    from transformer_recommenders_tpu.data.module import SeqDataModule
+    from transformer_recommenders_tpu.training.trainer import Trainer
+
+    root, data_config, train_config = tiny_modules
+    # 4 train batches, interval 2 -> mid-epoch validations at steps 2 and 4;
+    # step 4 is the epoch end, so the old code validated twice there
+    cfg = train_config.model_copy(
+        update={
+            "val_check_interval": 2,
+            "limit_train_batches": 4,
+            "max_epochs": 2,
+            "early_stopping_patience": 1,
+            "ckpt_dir": str(root / "ckpt_dedup"),
+        }
+    )
+    trainer = Trainer(cfg, SeqDataModule(data_config), log_dir=str(root / "ld"))
+
+    calls = []
+    orig_validate = trainer.validate
+
+    def counting_validate(stage="val"):
+        out = orig_validate(stage=stage)
+        calls.append(int(trainer.state.step))
+        return out
+
+    trainer.validate = counting_validate
+    trainer.fit()
+    trainer.close()
+    # no step may be validated twice (the dedup), so a tie can never come
+    # from re-scoring identical params
+    assert len(calls) == len(set(calls)), calls
+
+
+def test_mlflow_run_marked_finished_on_close(tiny_modules):
+    """Trainer.close() must terminate the MLflow run (status FINISHED) —
+    without it every run stays RUNNING forever (round-2 review finding)."""
+    from transformer_recommenders_tpu.data.module import SeqDataModule
+    from transformer_recommenders_tpu.training.trainer import Trainer
+
+    root, data_config, train_config = tiny_modules
+    cfg = train_config.model_copy(
+        update={
+            "limit_train_batches": 2,
+            "use_mlflow": True,
+            "mlflow_dir": str(root / "mlruns_close"),
+            "ckpt_dir": str(root / "ckpt_mlf"),
+        }
+    )
+    trainer = Trainer(cfg, SeqDataModule(data_config), log_dir=str(root / "lf"))
+    trainer.fit()
+    trainer.close()
+    trainer.close()  # idempotent
+    run = trainer.mlflow_run
+    assert run is not None
+    meta = (run.run_dir / "meta.yaml").read_text()
+    assert "status: 3" in meta, meta  # FINISHED

@@ -145,16 +145,20 @@ def _dropout(x: jax.Array, rate: float, rng: jax.Array | None) -> jax.Array:
     """
     if rng is None or rate <= 0.0:
         return x
+    from transformer_recommenders_tpu.ops.hash_dropout import (
+        PREMIX_IDX,
+        PREMIX_SEED,
+        fmix32,
+        keep_threshold,
+    )
+
     data = jax.random.key_data(rng).reshape(-1).astype(jnp.uint32)
-    seed = data[-1] ^ (data[0] * jnp.uint32(0x9E3779B1))
-    h = _linear_iota(x.shape) * jnp.uint32(0x9E3779B1) + seed * jnp.uint32(0x85EBCA77)
-    h = h ^ (h >> 16)
-    h = h * jnp.uint32(0x85EBCA6B)
-    h = h ^ (h >> 13)
-    h = h * jnp.uint32(0xC2B2AE35)
-    h = h ^ (h >> 16)
-    threshold = jnp.uint32(min(int(rate * 4294967296.0), 4294967295))
-    return jnp.where(h >= threshold, x / (1.0 - rate), 0.0)
+    seed = data[-1] ^ (data[0] * jnp.uint32(PREMIX_IDX))
+    h = fmix32(
+        _linear_iota(x.shape) * jnp.uint32(PREMIX_IDX)
+        + seed * jnp.uint32(PREMIX_SEED)
+    )
+    return jnp.where(h >= keep_threshold(rate), x / (1.0 - rate), 0.0)
 
 
 def _fused_layer_mode(cfg: ModelConfig, s: int) -> str | None:

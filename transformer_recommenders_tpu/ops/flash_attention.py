@@ -212,7 +212,7 @@ def _specs(s: int, d: int, bt: int):
 def _pick_block_batch(b: int, s: int, d: int, num_heads: int) -> int:
     """Batch elements per grid step: enough to amortize per-iteration grid
     overhead (dominant at small S — an unblocked (B*H,) variant measured
-    2x slower than XLA from overhead alone), bounded by a ~4 MB VMEM
+    2x slower than XLA from overhead alone), bounded by a 12 MB VMEM
     budget across the q/k/v/g/dq/dk/dv blocks plus the per-element wide
     transients (qw/gw bf16 + probs-family f32 + ctx f32) of the backward
     kernel."""

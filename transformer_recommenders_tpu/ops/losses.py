@@ -257,7 +257,7 @@ def logits_statistics_moments(
     a single-chip run (the reference logs these every step,
     ``xfmr_rec/trainer.py:250-253``).
 
-    ``*_sum``/``*_sumsq``/``*_n``/``density_num``/``rows`` are additive
+    ``*_sum``/``*_sse``/``*_meansq``/``*_n``/``density_num`` are additive
     across batch shards; ``*_min``/``*_max`` reduce with min/max.
     """
     pos, neg = compute_pair_logits(query, pos_embed, neg_pool, similarity="dot")
@@ -277,17 +277,31 @@ def logits_statistics_moments(
         num_negatives = jnp.minimum(num_negatives, cfg.num_hard_negatives)
     per_row_density = jnp.sum(maskf, axis=1) / (num_negatives + 1e-9)
 
+    def _moments(prefix, x, w):
+        """Additive moments with a cancellation-safe variance: the local
+        sum of squared DEVIATIONS around the local mean (two-pass — exact
+        on one shard) plus ``sum^2/n``; the cross-shard combiner in
+        :func:`finish_logits_statistics` is Chan et al.'s parallel
+        variance.  A one-pass ``sumsq - n*mean^2`` loses most significant
+        digits in f32 once ``|mean| >> std`` (e.g. InfoNCE at scale 20).
+        """
+        n = jnp.sum(w)
+        total = jnp.sum(x * w)
+        mean = total / jnp.clip(n, min=1.0)
+        sse = jnp.sum(jnp.square(x - mean) * w)
+        return {
+            f"{prefix}_sum": total,
+            f"{prefix}_sse": sse,
+            f"{prefix}_meansq": jnp.square(total) / jnp.clip(n, min=1.0),
+            f"{prefix}_n": n,
+        }
+
     return {
         "density_num": jnp.sum(per_row_density * rowv),
-        "rows": jnp.sum(rowv),
-        "pos_sum": jnp.sum(pos * rowv),
-        "pos_sumsq": jnp.sum(jnp.square(pos) * rowv),
-        "pos_n": jnp.sum(rowv),
+        **_moments("pos", pos, rowv),  # pos_n == valid-row count
         "pos_min": jnp.min(jnp.where(rowv > 0, pos, jnp.inf)),
         "pos_max": jnp.max(jnp.where(rowv > 0, pos, -jnp.inf)),
-        "neg_sum": jnp.sum(neg * maskf),
-        "neg_sumsq": jnp.sum(jnp.square(neg) * maskf),
-        "neg_n": jnp.sum(maskf),
+        **_moments("neg", neg, maskf),
         "neg_min": jnp.min(jnp.where(mask, neg, jnp.inf)),
         "neg_max": jnp.max(jnp.where(mask, neg, -jnp.inf)),
     }
@@ -301,9 +315,13 @@ def finish_logits_statistics(m: dict[str, jax.Array]) -> dict[str, jax.Array]:
         n = m[f"{prefix}_n"]
         safe_n = jnp.clip(n, min=1.0)
         mean = m[f"{prefix}_sum"] / safe_n
-        var = jnp.clip(
-            m[f"{prefix}_sumsq"] - n * jnp.square(mean), min=0.0
-        ) / jnp.clip(n - 1.0, min=1.0)
+        # parallel variance (Chan et al.): on one shard sse is the exact
+        # two-pass SSE and meansq - sum^2/n cancels to 0; across shards the
+        # correction carries only the (small) between-shard mean spread
+        sse = m[f"{prefix}_sse"] + m[f"{prefix}_meansq"] - jnp.square(
+            m[f"{prefix}_sum"]
+        ) / safe_n
+        var = jnp.clip(sse, min=0.0) / jnp.clip(n - 1.0, min=1.0)
         return {
             f"logits/{prefix}/mean": mean,
             f"logits/{prefix}/std": jnp.sqrt(var),
@@ -312,7 +330,7 @@ def finish_logits_statistics(m: dict[str, jax.Array]) -> dict[str, jax.Array]:
         }
 
     stats = {
-        "logits/neg/density": m["density_num"] / jnp.clip(m["rows"], min=1.0)
+        "logits/neg/density": m["density_num"] / jnp.clip(m["pos_n"], min=1.0)
     }
     stats |= _stats("pos")
     stats |= _stats("neg")

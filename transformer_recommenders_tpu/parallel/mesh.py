@@ -39,8 +39,13 @@ def maybe_initialize_distributed() -> None:
         return
     try:
         jax.distributed.initialize()
-    except RuntimeError:
-        pass  # already initialized (idempotent re-entry)
+    except RuntimeError as exc:
+        # tolerate ONLY idempotent re-entry; a coordinator-unreachable /
+        # misconfigured init must fail loudly — swallowing it leaves every
+        # host training on a silently local-only backend
+        if "already" in str(exc).lower():
+            return
+        raise
 
 
 def create_mesh(

@@ -112,6 +112,11 @@ class MicroBatcher:
         self._lock = threading.Lock()
         self._queue: list = []
         self._flusher = None
+        # batch generation: each timer is armed FOR a specific generation;
+        # after any flush the generation advances, so a stale timer from an
+        # earlier window (cross-thread TimerHandle.cancel is unsafe) can
+        # never flush a FRESH batch before its own coalescing window
+        self._generation = 0
 
     async def submit(self, item):
         import asyncio
@@ -122,18 +127,20 @@ class MicroBatcher:
             self._queue.append((item, fut, loop))
             flush_now = len(self._queue) >= self._max_batch
             if not flush_now and self._flusher is None:
-                # timer on THIS loop; it stays alive awaiting fut.  A stale
-                # timer firing after a max-batch flush finds an empty queue
-                # and no-ops (cross-thread TimerHandle.cancel is unsafe).
-                self._flusher = loop.call_later(self._window, self._flush)
+                self._flusher = loop.call_later(
+                    self._window, self._flush, self._generation
+                )
         if flush_now:
             self._flush()
         return await fut
 
-    def _flush(self) -> None:
+    def _flush(self, generation: int | None = None) -> None:
         with self._lock:
+            if generation is not None and generation != self._generation:
+                return  # stale timer from a window that was already flushed
             batch, self._queue = self._queue, []
             self._flusher = None
+            self._generation += 1
         if not batch:
             return
         items = [item for item, _, _ in batch]

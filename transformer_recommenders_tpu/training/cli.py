@@ -108,6 +108,16 @@ def main(argv: list[str] | None = None) -> dict[str, float]:
     args, overrides = parser.parse_known_args(argv)
 
     trainer = build(args, overrides)
+    try:
+        result = _dispatch(trainer, args)
+    finally:
+        # terminate the logger sinks — the MLflow run otherwise stays
+        # status RUNNING forever (Lightning finalizes its loggers too)
+        trainer.close()
+    return result
+
+
+def _dispatch(trainer, args) -> dict[str, float]:
     if args.command == "fit":
         result = trainer.fit()
         if args.save_path:

@@ -70,9 +70,16 @@ class MetricsLogger:
             csv.DictWriter(f, self._csv_fields, extrasaction="ignore").writerow(record)
 
     def close(self) -> None:
+        """Idempotent: flush files and terminate sinks (the MLflow sink
+        marks its run FINISHED here — without it every run stays RUNNING,
+        ADVICE round 2)."""
+        if self._jsonl.closed:
+            return
         self._jsonl.close()
         for sink in self.sinks:
             sink.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 def _maybe_tensorboard(log_dir: pathlib.Path):

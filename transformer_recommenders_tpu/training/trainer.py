@@ -149,6 +149,11 @@ class Trainer:
                 cfg, self.mesh, num_items=table_np.shape[0] - 1
             )
 
+    def close(self) -> None:
+        """Terminate logger sinks (marks the MLflow run FINISHED).
+        Idempotent; call when done with fit/validate/test/predict."""
+        self.logger.close()
+
     def restore(self, ckpt_path: str) -> dict:
         """Resume from a checkpoint directory (parity: ``ckpt_path`` CLI
         resume, ``config.yaml:92``)."""
@@ -194,6 +199,7 @@ class Trainer:
         stop = False
         epoch = 0
         best_device_state = None
+        last_validated_step = -1  # dedup: never score the same params twice
 
         def on_validation(val: dict[str, float], at_epoch: int) -> bool:
             """Monitor/early-stop/best-checkpoint bookkeeping shared by
@@ -239,9 +245,11 @@ class Trainer:
         if cfg.val_check_interval > 0:
 
             def midepoch_validate(at_epoch: int) -> bool:
+                nonlocal last_validated_step
                 self.model.params = self.state.params
                 val = self.validate(stage="val")
-                self.logger.log(val, step=self._host_step or int(self.state.step))
+                last_validated_step = self._host_step or int(self.state.step)
+                self.logger.log(val, step=last_validated_step)
                 return on_validation(val, at_epoch)
 
             self._midepoch_validate = midepoch_validate
@@ -262,9 +270,20 @@ class Trainer:
                     )
 
                 self.model.params = self.state.params
-                val = self.validate(stage="val")
-                self.logger.log(val, step=int(self.state.step))
-                stop = on_validation(val, epoch) or stop
+                cur_step = (
+                    self._host_step
+                    if self._host_step is not None
+                    else int(self.state.step)
+                )
+                # skip the epoch-end validation when a mid-epoch one
+                # (val_check_interval) just scored these exact params —
+                # re-scoring ties the monitor and burns early-stopping
+                # patience every epoch (round-2 review finding)
+                if cur_step != last_validated_step:
+                    val = self.validate(stage="val")
+                    last_validated_step = cur_step
+                    self.logger.log(val, step=cur_step)
+                    stop = on_validation(val, epoch) or stop
                 if cfg.checkpoint_every_epoch:
                     ckpt_lib.save_checkpoint(
                         pathlib.Path(cfg.ckpt_dir) / "last",
