@@ -71,3 +71,27 @@ def test_record_store_unicode_and_quotes():
         "o'brien",
         'say "hi"',
     ]
+
+
+def test_package_import_does_not_initialize_backend():
+    """A module-level jnp scalar used to dispatch convert_element_type at
+    import, initializing the XLA backend BEFORE jax.distributed.initialize
+    could run (and hanging imports when the accelerator is unreachable).
+    Importing the full surface must leave the backend untouched."""
+    import subprocess
+    import sys
+
+    code = (
+        "import transformer_recommenders_tpu.training.cli\n"
+        "import transformer_recommenders_tpu.serving.service\n"
+        "import transformer_recommenders_tpu.index.device_index\n"
+        "from jax._src import xla_bridge\n"
+        "assert not xla_bridge._backends, sorted(xla_bridge._backends)\n"
+        "print('clean')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "clean" in out.stdout

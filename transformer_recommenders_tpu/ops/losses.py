@@ -39,7 +39,11 @@ import jax.numpy as jnp
 
 from transformer_recommenders_tpu.configs import LossConfig
 
-_NEG_INF = jnp.float32(-jnp.inf)
+# plain python float, NOT jnp.float32(...): a module-level jnp scalar
+# dispatches convert_element_type at IMPORT time, initializing the XLA
+# backend before jax.distributed.initialize can run (and hanging any
+# import when the accelerator is unreachable)
+_NEG_INF = float("-inf")
 
 
 def _l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:

@@ -16,7 +16,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_NEG_INF = jnp.float32(-jnp.inf)
+# plain python float, NOT jnp.float32(...): a module-level jnp scalar
+# dispatches convert_element_type at IMPORT time, initializing the XLA
+# backend before jax.distributed.initialize can run (and hanging any
+# import when the accelerator is unreachable)
+_NEG_INF = float("-inf")
 
 
 def normalize_rows(x) -> jax.Array:

@@ -26,7 +26,11 @@ try:
 except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
-_NEG_INF = jnp.float32(-jnp.inf)
+# plain python float, NOT jnp.float32(...): a module-level jnp scalar
+# dispatches convert_element_type at IMPORT time, initializing the XLA
+# backend before jax.distributed.initialize can run (and hanging any
+# import when the accelerator is unreachable)
+_NEG_INF = float("-inf")
 
 
 def _local_topk(
