@@ -3,6 +3,13 @@
 compare their sum against the full step — the difference is XLA
 serialization/staging that no kernel shows up for in the trace.
 
+CAVEATS (round 2): isolated micro-timings over the axon tunnel proved
+unreliable (dispatch memoization + the first-program anomaly, see
+BASELINE.md); prefer scripts/ablate_marginal.py (in-context knockouts) and
+scripts/trace_ops.py (per-op xplane times).  This script also predates the
+table-scored loss — its "fused InfoNCE" row times the pool kernel the
+flagship step no longer runs.
+
 Usage: python scripts/ablate_step.py
 """
 from __future__ import annotations
