@@ -81,21 +81,23 @@ def _dropout_keep(seed_ref, stream: jax.Array, shape, rate: float) -> jax.Array:
     compiled Mosaic and the TPU interpreter (whose prng primitive is a
     stub), so CPU tests exercise the real dropout math.
     """
+    from transformer_recommenders_tpu.ops.hash_dropout import (
+        PREMIX_IDX,
+        PREMIX_SEED,
+        PREMIX_STREAM,
+        fmix32,
+        keep_threshold,
+    )
+
     s0, s1 = shape
     idx = (
         jax.lax.broadcasted_iota(jnp.int32, shape, 0) * s1
         + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     ).astype(jnp.uint32)
-    h = idx * jnp.uint32(0x9E3779B1)
-    h = h + seed_ref[0].astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
-    h = h + (stream.astype(jnp.uint32) + jnp.uint32(1)) * jnp.uint32(0xC2B2AE3D)
-    h = h ^ (h >> 16)
-    h = h * jnp.uint32(0x85EBCA6B)
-    h = h ^ (h >> 13)
-    h = h * jnp.uint32(0xC2B2AE35)
-    h = h ^ (h >> 16)
-    threshold = jnp.uint32(min(int(rate * 4294967296.0), 4294967295))
-    return h >= threshold
+    h = idx * jnp.uint32(PREMIX_IDX)
+    h = h + seed_ref[0].astype(jnp.uint32) * jnp.uint32(PREMIX_SEED)
+    h = h + (stream.astype(jnp.uint32) + jnp.uint32(1)) * jnp.uint32(PREMIX_STREAM)
+    return fmix32(h) >= keep_threshold(rate)
 
 
 def _hmask(num_heads: int, s: int, d: int, dtype) -> jax.Array:

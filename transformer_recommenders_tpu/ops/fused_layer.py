@@ -73,20 +73,23 @@ _INV_SQRT2PI = 1.0 / math.sqrt(2.0 * math.pi)
 
 
 def _keep(seed, idx, rate: float):
-    """Keep mask + inverse scale of ``transformer._dropout``: murmur3
-    fmix32 avalanche over (global linear element index, seed).  ``seed``
-    arrives as int32 (SMEM); same-width int->uint conversion is modular,
-    i.e. a bit-reinterpret."""
-    h = idx * jnp.uint32(0x9E3779B1) + seed.astype(jnp.uint32) * jnp.uint32(
-        0x85EBCA77
+    """Keep mask of ``transformer._dropout`` (same premix + avalanche via
+    the shared ``ops.hash_dropout`` — the bit-identity guarantee between
+    the fused and XLA streams depends on it).  ``seed`` arrives as int32
+    (SMEM); same-width int->uint conversion is modular, i.e. a
+    bit-reinterpret."""
+    from transformer_recommenders_tpu.ops.hash_dropout import (
+        PREMIX_IDX,
+        PREMIX_SEED,
+        fmix32,
+        keep_threshold,
     )
-    h = h ^ (h >> 16)
-    h = h * jnp.uint32(0x85EBCA6B)
-    h = h ^ (h >> 13)
-    h = h * jnp.uint32(0xC2B2AE35)
-    h = h ^ (h >> 16)
-    threshold = jnp.uint32(min(int(rate * 4294967296.0), 4294967295))
-    return h >= threshold
+
+    h = fmix32(
+        idx * jnp.uint32(PREMIX_IDX)
+        + seed.astype(jnp.uint32) * jnp.uint32(PREMIX_SEED)
+    )
+    return h >= keep_threshold(rate)
 
 
 def _hidden_idx(base_row, rows: int, cols: int):
