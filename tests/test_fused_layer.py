@@ -235,3 +235,59 @@ def test_gate_falls_back_on_unsupported_shapes(monkeypatch):
     # seq-128 crossover: the wide layout loses there (measured 10.24 vs
     # 9.11 ms at config #4) — gate must fall back to the XLA stack
     assert T._fused_layer_mode(cfg3, 128) is None
+
+
+def test_multi_group_lane_packing_matches_xla():
+    """bt spanning SEVERAL packed groups (g = 128//S < bt): B=8 at S=32
+    gives two 4-element groups per block — covers the group loop, the
+    packed dropout indexing across groups, and the block-diagonal
+    contraction with more than one group."""
+    s, d, h, f, b = 32, 64, 4, 64, 8
+    cfg = ModelConfig(
+        hidden_size=d, num_hidden_layers=1, num_attention_heads=h,
+        intermediate_size=f, max_seq_length=s, compute_dtype="float32",
+        hidden_dropout=0.2, attention_dropout=0.2,
+    )
+    params = T.init_transformer_params(jax.random.key(2), cfg)
+    layer = jax.tree.map(lambda a: a[0], params["layers"])
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+    mask = np.ones((b, s), bool)
+    mask[0, 20:] = False
+    mask[-1] = False  # fully padded element inside a packed group
+    mask = jnp.asarray(mask)
+    keys = list(jax.random.split(jax.random.key(5), 3))
+    seeds = T._dropout_site_seeds(jnp.stack(keys))
+
+    ref = _xla_layer(cfg, x, layer, mask, keys=keys)
+    out = fused_layer(
+        x, layer, mask, num_heads=h, causal=True,
+        attn_dropout=0.2, hidden_dropout=0.2, dropout_seeds=seeds,
+        ffn_dim=f, layer_norm_eps=cfg.layer_norm_eps, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
+
+    probe = jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+    gx_ref, gl_ref = jax.grad(
+        _probe_loss(lambda x_, l_: _xla_layer(cfg, x_, l_, mask, keys=keys),
+                    probe)
+    )((x, layer))
+    gx, gl = jax.grad(
+        _probe_loss(
+            lambda x_, l_: fused_layer(
+                x_, l_, mask, num_heads=h, causal=True, attn_dropout=0.2,
+                hidden_dropout=0.2, dropout_seeds=seeds, ffn_dim=f,
+                layer_norm_eps=cfg.layer_norm_eps, interpret=True,
+            ),
+            probe,
+        )
+    )((x, layer))
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=2e-4, atol=2e-5)
+    for (kp, a), (_, b_) in zip(
+        jax.tree_util.tree_flatten_with_path(gl_ref)[0],
+        jax.tree_util.tree_flatten_with_path(gl)[0],
+    ):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5, err_msg=str(kp))
