@@ -1,0 +1,92 @@
+"""Measure the chip's achievable VPU element-ops/ms (VERDICT round-2 item #2).
+
+Times ``ops.vpu_calibration.vpu_chain`` at two chain lengths per op mix; the
+slope between them cancels fixed dispatch/load/store cost and yields the
+marginal per-element-op throughput.  Writes VPU_CALIBRATION.json and prints
+a markdown row per mix for BASELINE.md's roofline table.
+
+Benchmark hygiene for the axon tunnel (memory: axon-dispatch-memoization):
+fresh input buffer every rep, first timed calls discarded, output consumed.
+
+Usage: python scripts/calibrate_vpu.py [--interpret]
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from transformer_recommenders_tpu.ops.vpu_calibration import (  # noqa: E402
+    OPS_PER_ITER,
+    vpu_chain,
+)
+
+INTERPRET = "--interpret" in sys.argv
+SHAPE = (1024, 512)  # 2 MB f32, VMEM-resident
+K_LO, K_HI = 256, 1024
+REPS = 10
+DISCARD = 3
+
+
+def time_chain(mix: str, iters: int) -> float:
+    """Median seconds/call with per-rep fresh inputs."""
+    rng = np.random.default_rng(iters)
+    # warmup + compile
+    x = jnp.asarray(rng.random(SHAPE, np.float32))
+    vpu_chain(x, iters=iters, mix=mix, interpret=INTERPRET).block_until_ready()
+    times = []
+    for r in range(REPS + DISCARD):
+        x = jnp.asarray(rng.random(SHAPE, np.float32) + 0.5)
+        t0 = time.perf_counter()
+        out = vpu_chain(x, iters=iters, mix=mix, interpret=INTERPRET)
+        out.block_until_ready()
+        dt = time.perf_counter() - t0
+        if r >= DISCARD:
+            times.append(dt)
+    float(out[0, 0])  # consume
+    return float(np.median(times))
+
+
+def main() -> None:
+    print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    elems = SHAPE[0] * SHAPE[1]
+    results = {}
+    for mix, ops in OPS_PER_ITER.items():
+        t_lo = time_chain(mix, K_LO)
+        t_hi = time_chain(mix, K_HI)
+        marginal_ops = elems * (K_HI - K_LO) * ops
+        eops_per_ms = marginal_ops / ((t_hi - t_lo) * 1e3)
+        results[mix] = {
+            "t_lo_ms": t_lo * 1e3,
+            "t_hi_ms": t_hi * 1e3,
+            "k_lo": K_LO,
+            "k_hi": K_HI,
+            "ops_per_iter": ops,
+            "elemops_per_ms": eops_per_ms,
+        }
+        print(
+            f"| VPU {mix} | {t_lo*1e3:.3f} ms @K={K_LO} | {t_hi*1e3:.3f} ms "
+            f"@K={K_HI} | {eops_per_ms/1e9:.2f} G elemops/ms |"
+        )
+    out = {
+        "shape": SHAPE,
+        "backend": jax.default_backend(),
+        "results": results,
+    }
+    pathlib.Path("VPU_CALIBRATION.json").write_text(json.dumps(out, indent=2))
+    print("wrote VPU_CALIBRATION.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -47,12 +47,22 @@ from transformer_recommenders_tpu.data.module import SeqDataModule  # noqa: E402
 from transformer_recommenders_tpu.training.trainer import Trainer  # noqa: E402
 
 QUICK = "--quick" in sys.argv
+REFSHAPE = "--reference-shape" in sys.argv
 SCALE = 10 if QUICK else 1
 
-# small encoder so the torch side stays tractable at 1M events; the DATA
-# scale (users/items/pool statistics) is what round 1 lacked
-D, L, H, F, S = 64, 2, 4, 128, 16
-BATCH = 64
+if REFSHAPE:
+    # the EXACT reference topology (/root/reference/config.yaml:47-53 —
+    # 1L, 12 heads, ffn 48, seq 32, d=384 from MiniLM, batch 32) at full
+    # ML-1M data shape (VERDICT round-2 item #5)
+    D, L, H, F, S = 384, 1, 12, 48, 32
+    BATCH = 32
+    OUT = "PARITY_REFSHAPE.json"
+else:
+    # small encoder so the torch side stays tractable at 1M events; the DATA
+    # scale (users/items/pool statistics) is what round 1 lacked
+    D, L, H, F, S = 64, 2, 4, 128, 16
+    BATCH = 64
+    OUT = "PARITY_ML1M.json"
 EPOCHS = 1 if QUICK else 2
 LR = 1e-3
 TOPK = 10
@@ -64,6 +74,8 @@ CONFIGS = [
     {"name": "InfoNCE+lookahead8", "train_loss": "InfoNCELoss", "pos_lookahead": 8},
     {"name": "InfoNCE+hard32", "train_loss": "InfoNCELoss", "num_hard_negatives": 32},
 ]
+if REFSHAPE:  # the three VERDICT-named heads; lookahead/hard32 stay in the
+    CONFIGS = CONFIGS[:3]  # full-shape run above
 
 
 def run_config(spec: dict, root: str) -> dict:
@@ -139,11 +151,12 @@ def run_config(spec: dict, root: str) -> dict:
 
 
 def main() -> None:
-    root = f"/tmp/parity_ml1m_scale{SCALE}"  # never share data across scales
+    # never share data across scales/shapes
+    root = f"/tmp/parity_ml1m_scale{SCALE}_d{D}s{S}"
     results = []
     for spec in CONFIGS:
         results.append(run_config(spec, root))
-        with open("PARITY_ML1M.json", "w") as f:
+        with open(OUT, "w") as f:
             json.dump(
                 {
                     "shape": {

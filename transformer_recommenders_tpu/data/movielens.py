@@ -308,6 +308,20 @@ def _activity_struct_type() -> pa.DataType:
     )
 
 
+def _check_list_offsets_fit_int32(total: int) -> None:
+    """``pa.ListArray`` offsets are int32; past ~2.1B events they would
+    silently wrap and build corrupt lists (ADVICE round 2).  ML-25M is 25M
+    events — two orders of magnitude of headroom — so fail loudly rather
+    than carry a LargeListArray variant nothing can reach."""
+    if total >= 2**31:
+        msg = (
+            f"split has {total} events, overflowing int32 ListArray offsets; "
+            "shard the split or switch _grouped_struct_of_lists to "
+            "pa.LargeListArray/int64 offsets"
+        )
+        raise OverflowError(msg)
+
+
 def _grouped_struct_of_lists(
     frame: pd.DataFrame, all_user_ids: np.ndarray
 ) -> pa.StructArray:
@@ -352,6 +366,7 @@ def _grouped_struct_of_lists(
     offsets = np.zeros(n_users + 1, np.int64)
     np.cumsum(lengths, out=offsets[1:])
     total = int(offsets[-1])
+    _check_list_offsets_fit_int32(total)
 
     # row gather: for user u with group start s and length L, rows s..s+L
     base = np.repeat(np.where(present, group_starts[idxv], 0), lengths)

@@ -1,0 +1,86 @@
+"""VPU-throughput calibration microkernel (VERDICT round-2 item #2).
+
+The round-2 roofline (BASELINE.md) judged the fused kernels against MXU/HBM
+bounds only and asserted they are VPU-issue-bound from cross-kernel
+consistency.  This kernel measures the *actual* achievable element-ops/ms
+on the chip, per op class, so the speed-of-light table can carry a measured
+VPU row: a resident VMEM tile is run through K chained iterations of a
+representative op mix, and timing two K values cancels the fixed dispatch +
+load/store cost — the slope IS the per-element-op cost.
+
+Op mixes (chosen to bracket what the fused layer/loss kernels execute):
+
+- ``fma``    — ``x*a + b``: 2 element-ops/iter, the cheapest VPU work.
+- ``exp``    — ``exp(x*s)``: 1 transcendental + 1 mul/iter; softmax cost.
+- ``select`` — compare + select + mul + add: 4 element-ops/iter; the
+  masking/dropout pattern.
+
+No reference analogue (the reference has no kernels); this is measurement
+infrastructure for BASELINE.json's >=80%-of-SoL criterion.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# element-ops each mix executes per element per iteration (the unit the
+# roofline counts: one VPU lane-op, transcendentals counted as one)
+OPS_PER_ITER = {"fma": 2, "exp": 2, "select": 4}
+_UNROLL = 8
+
+
+def _chain_kernel(x_ref, o_ref, *, iters: int, mix: str):
+    x = x_ref[...]
+
+    def body_fma(x):
+        return x * 1.0000001 + 1e-7
+
+    def body_exp(x):
+        # keep the operand bounded: x stays ~= 1.0 forever
+        return jnp.exp(x * 1e-8)
+
+    def body_select(x):
+        return jnp.where(x > 0.5, x * 0.999, x + 0.001)
+
+    body = {"fma": body_fma, "exp": body_exp, "select": body_select}[mix]
+    assert iters % _UNROLL == 0
+
+    def step(_, x):
+        for _ in range(_UNROLL):
+            x = body(x)
+        return x
+
+    x = jax.lax.fori_loop(0, iters // _UNROLL, step, x)
+    o_ref[...] = x
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "mix", "interpret"))
+def vpu_chain(x: jax.Array, *, iters: int, mix: str = "fma", interpret: bool = False):
+    """Run ``iters`` chained iterations of ``mix`` over ``x`` (resident tile)."""
+    return pl.pallas_call(
+        functools.partial(_chain_kernel, iters=iters, mix=mix),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x)
+
+
+def reference_chain(x: jax.Array, *, iters: int, mix: str = "fma") -> jax.Array:
+    """Pure-jnp oracle for the kernel (correctness tests)."""
+    import numpy as np
+
+    x = np.asarray(x, np.float32)
+    for _ in range(iters):
+        if mix == "fma":
+            x = x * np.float32(1.0000001) + np.float32(1e-7)
+        elif mix == "exp":
+            x = np.exp(x * np.float32(1e-8), dtype=np.float32)
+        else:
+            x = np.where(x > 0.5, x * np.float32(0.999), x + np.float32(0.001))
+    return jnp.asarray(x)

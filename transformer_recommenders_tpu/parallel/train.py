@@ -92,12 +92,13 @@ def make_sharded_loss(config: TrainConfig, mesh: Mesh, *, full_logs: bool = True
             from transformer_recommenders_tpu.training.train_state import (
                 _table_loss_enabled,
                 _table_objective,
+                table_pool_rows,
             )
 
             n_model = mesh.shape[MODEL_AXIS]
             n_data = mesh.shape[DATA_AXIS]
             n_global = table_shard.shape[0] * n_model
-            pool_global = batch["history_item_idx"].size * n_data
+            pool_global = table_pool_rows(config, batch) * n_data
             if _table_loss_enabled(config, n_global, pool_global):
                 # table-scored fast path: all-gather the (already projected)
                 # query-space table over the model axis — N*D bf16, tiny on

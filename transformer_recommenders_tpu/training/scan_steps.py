@@ -58,11 +58,12 @@ def make_scanned_train_steps(
         from transformer_recommenders_tpu.training.train_state import (
             _table_loss_enabled,
             _table_objective,
+            table_pool_rows,
         )
 
         def loss_fn(params, table, batch, rng):
             if _table_loss_enabled(
-                config, table.shape[0], batch["history_item_idx"].size
+                config, table.shape[0], table_pool_rows(config, batch)
             ):
                 from transformer_recommenders_tpu.models.recommender import (
                     compute_query_embeds,

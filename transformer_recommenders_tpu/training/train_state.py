@@ -49,6 +49,16 @@ def _fused_loss_enabled(config: TrainConfig) -> bool:
 
 
 
+def table_pool_rows(config: TrainConfig, batch: dict) -> int:
+    """Rows of the gathered negative pool a batch would produce, i.e. what
+    the (R, Rn) matmul's Rn actually is after ``compute_query_embeds``
+    truncates the stored history to ``max_seq_length``.  Using the raw
+    ``history_item_idx.size`` over-counts when the stored history dim
+    exceeds the model's window (ADVICE round 2)."""
+    b, h = batch["history_item_idx"].shape
+    return b * min(h, config.max_seq_length)
+
+
 def _table_loss_enabled(config: TrainConfig, n_table_rows: int, pool_rows: int) -> bool:
     """Table-scored InfoNCE (``ops/fused_table_infonce.py``) pays off when
     the catalog is not much larger than the shared pool: the (R, N) matmul
@@ -271,7 +281,7 @@ def make_train_step(config: TrainConfig, *, full_logs: bool = True):
 
     def loss_fn(params, item_table, batch, rng):
         if not full_logs and _table_loss_enabled(
-            config, item_table.shape[0], batch["history_item_idx"].size
+            config, item_table.shape[0], table_pool_rows(config, batch)
         ):
             from transformer_recommenders_tpu.models.recommender import (
                 compute_query_embeds,

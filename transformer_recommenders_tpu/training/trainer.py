@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import pathlib
 import time
+import warnings
 
 import jax
 import numpy as np
@@ -217,6 +218,17 @@ class Trainer:
                 )
                 raise KeyError(msg)
             score = val[cfg.monitor]
+            if not np.isfinite(score):
+                # Lightning's EarlyStopping(check_finite) stops with an
+                # explicit signal; we keep training but shout, so a NaN-only
+                # run doesn't silently burn all patience (ADVICE round 2).
+                warnings.warn(
+                    f"monitor metric {cfg.monitor!r} is non-finite ({score}) "
+                    f"at epoch {at_epoch}; counting as not-improved "
+                    f"(patience {patience_left - 1} left)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
             improved = np.isfinite(score) and (
                 score > monitor_best
                 if cfg.monitor_mode == "max"
