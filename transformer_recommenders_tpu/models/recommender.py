@@ -280,7 +280,9 @@ def fast_table_lookup(
     ):
         from transformer_recommenders_tpu.ops.gather_matmul import gather_rows
 
-        rows = gather_rows(table, idx.reshape(-1))
+        # bf16 out is lossless here (rows are bf16-rounded table values) and
+        # halves the lookup's HBM write + the consumer's read
+        rows = gather_rows(table, idx.reshape(-1), out_dtype=jnp.bfloat16)
         return rows.reshape(*idx.shape, table.shape[1])
     return jnp.take(table, idx, axis=0)
 

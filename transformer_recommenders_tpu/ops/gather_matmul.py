@@ -34,6 +34,21 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _fit_tile(extent: int, tile_max: int, quantum: int) -> int:
+    """Largest tile <= tile_max (multiple of ``quantum``) that minimizes
+    padding of ``extent``.
+
+    ``min(tile_max, round_up(extent, quantum))`` — the round-1 choice —
+    pads the extent up to a tile MULTIPLE and wastes the difference as
+    real MXU FLOPs: the flagship catalog (N=4224) under tile 2048 padded
+    to 6144, +45% work on every lookup (VERDICT round-2 item #6).  Fixing
+    the grid-step count first and dividing keeps the padding under one
+    quantum per tile."""
+    ext_q = _round_up(extent, quantum)
+    steps = -(-ext_q // tile_max)
+    return _round_up(-(-ext_q // steps), quantum)
+
+
 def _fwd_kernel(idx_ref, table_ref, out_ref, acc_scr, *, num_table_tiles: int):
     j = pl.program_id(1)
 
@@ -52,7 +67,9 @@ def _fwd_kernel(idx_ref, table_ref, out_ref, acc_scr, *, num_table_tiles: int):
 
     @pl.when(j == num_table_tiles - 1)
     def _finish():
-        out_ref[:, :] = acc_scr[:, :]
+        # cast on store: bf16 out is LOSSLESS (the accumulated rows are
+        # bf16 table values copied through f32) and halves the out traffic
+        out_ref[:, :] = acc_scr[:, :].astype(out_ref.dtype)
 
 
 def _bwd_kernel(idx_ref, g_ref, dtable_ref, acc_scr, *, num_row_tiles: int):
@@ -77,13 +94,14 @@ def _bwd_kernel(idx_ref, g_ref, dtable_ref, acc_scr, *, num_row_tiles: int):
         dtable_ref[:, :] = acc_scr[:, :]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def gather_rows(
     table: jax.Array,
     idx: jax.Array,
     tile_rows: int = 2048,
     tile_table: int = 2048,
     interpret: bool = False,
+    out_dtype: jnp.dtype = jnp.float32,
 ) -> jax.Array:
     """``table[idx]`` via the one-hot MXU kernel.
 
@@ -91,18 +109,21 @@ def gather_rows(
         table: (N, D) float array.
         idx: (R,) int32; out-of-range rows return zeros.
         tile_rows / tile_table: grid tiles (auto-clamped).
+        out_dtype: output dtype.  bf16 is value-lossless (rows are
+            bf16-rounded table entries) and gradient-identical (the
+            backward rounds the cotangent to bf16 for the MXU either way).
 
     Returns:
-        (R, D) float32 rows (bf16-rounded table values).
+        (R, D) ``out_dtype`` rows (bf16-rounded table values).
     """
-    return _fwd(table, idx, tile_rows, tile_table, interpret)
+    return _fwd(table, idx, tile_rows, tile_table, interpret, out_dtype)
 
 
 def _pad_args(table, idx, tile_rows, tile_table):
     n, d = table.shape
     r = idx.shape[0]
-    tr = min(tile_rows, _round_up(r, 16))
-    tn = min(tile_table, _round_up(n, 128))
+    tr = _fit_tile(r, tile_rows, 16)
+    tn = _fit_tile(n, tile_table, 128)
     rp, np_ = _round_up(r, tr), _round_up(n, tn)
     if rp != r:
         idx = jnp.pad(idx, (0, rp - r), constant_values=-1)
@@ -111,7 +132,7 @@ def _pad_args(table, idx, tile_rows, tile_table):
     return table, idx, tr, tn, r, n
 
 
-def _fwd(table, idx, tile_rows, tile_table, interpret):
+def _fwd(table, idx, tile_rows, tile_table, interpret, out_dtype=jnp.float32):
     table_p, idx_p, tr, tn, r, n = _pad_args(table, idx, tile_rows, tile_table)
     rp, np_ = idx_p.shape[0], table_p.shape[0]
     grid = (rp // tr, np_ // tn)
@@ -124,18 +145,18 @@ def _fwd(table, idx, tile_rows, tile_table, interpret):
             pl.BlockSpec((tn, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tr, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rp, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rp, d), jnp.dtype(out_dtype)),
         scratch_shapes=[pltpu.VMEM((tr, d), jnp.float32)],
         interpret=interpret,
     )(idx_p.reshape(1, -1).astype(jnp.int32), table_p)
     return out[:r]
 
 
-def _vjp_fwd(table, idx, tile_rows, tile_table, interpret):
-    return _fwd(table, idx, tile_rows, tile_table, interpret), (table, idx)
+def _vjp_fwd(table, idx, tile_rows, tile_table, interpret, out_dtype):
+    return _fwd(table, idx, tile_rows, tile_table, interpret, out_dtype), (table, idx)
 
 
-def _vjp_bwd(tile_rows, tile_table, interpret, residuals, g):
+def _vjp_bwd(tile_rows, tile_table, interpret, out_dtype, residuals, g):
     table, idx = residuals
     table_p, idx_p, tr, tn, r, n = _pad_args(table, idx, tile_rows, tile_table)
     rp, np_ = idx_p.shape[0], table_p.shape[0]
