@@ -232,9 +232,69 @@ def test_gate_falls_back_on_unsupported_shapes(monkeypatch):
         hidden_size=256, num_hidden_layers=1, num_attention_heads=8,
         intermediate_size=1024, max_seq_length=128,
     )
-    # seq-128 crossover: the wide layout loses there (measured 10.24 vs
-    # 9.11 ms at config #4) — gate must fall back to the XLA stack
-    assert T._fused_layer_mode(cfg3, 128) is None
+    # config #4's seq 128 runs the per-head TALL layout (round 3)
+    assert T._fused_layer_mode(cfg3, 128) == "compiled"
+    cfg4 = ModelConfig(
+        hidden_size=256, num_hidden_layers=1, num_attention_heads=8,
+        intermediate_size=1024, max_seq_length=256,
+    )
+    # above 128 the per-head probs residency blows the VMEM block budget
+    assert T._fused_layer_mode(cfg4, 256) is None
+
+
+def test_tall_path_matches_xla_seq128():
+    """seq > 64 dispatches the per-head TALL attention layout
+    (``_attention_tall``) — forward, the bit-identical dropout stream
+    (vs the XLA split path's (B, H, S, S) hash layout), and full grads."""
+    s, d, h, f, b = 128, 64, 4, 96, 2
+    cfg = ModelConfig(
+        hidden_size=d, num_hidden_layers=1, num_attention_heads=h,
+        intermediate_size=f, max_seq_length=s, compute_dtype="float32",
+        hidden_dropout=0.2, attention_dropout=0.2,
+    )
+    params = T.init_transformer_params(jax.random.key(3), cfg)
+    layer = jax.tree.map(lambda a: a[0], params["layers"])
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+    mask = np.ones((b, s), bool)
+    mask[-1, 100:] = False  # padded tail
+    mask = jnp.asarray(mask)
+    keys = list(jax.random.split(jax.random.key(7), 3))
+    seeds = T._dropout_site_seeds(jnp.stack(keys))
+
+    ref = _xla_layer(cfg, x, layer, mask, keys=keys)
+    out = fused_layer(
+        x, layer, mask, num_heads=h, causal=True,
+        attn_dropout=0.2, hidden_dropout=0.2, dropout_seeds=seeds,
+        ffn_dim=f, layer_norm_eps=cfg.layer_norm_eps, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-5, atol=3e-5)
+
+    probe = jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+    gx_ref, gl_ref = jax.grad(
+        _probe_loss(lambda x_, l_: _xla_layer(cfg, x_, l_, mask, keys=keys),
+                    probe)
+    )((x, layer))
+    gx, gl = jax.grad(
+        _probe_loss(
+            lambda x_, l_: fused_layer(
+                x_, l_, mask, num_heads=h, causal=True, attn_dropout=0.2,
+                hidden_dropout=0.2, dropout_seeds=seeds, ffn_dim=f,
+                layer_norm_eps=cfg.layer_norm_eps, interpret=True,
+            ),
+            probe,
+        )
+    )((x, layer))
+    assert float(jnp.linalg.norm(gx_ref)) > 1e-2
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=2e-4, atol=2e-5)
+    for (kp, a), (_, b_) in zip(
+        jax.tree_util.tree_flatten_with_path(gl_ref)[0],
+        jax.tree_util.tree_flatten_with_path(gl)[0],
+    ):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5, err_msg=str(kp))
 
 
 def test_multi_group_lane_packing_matches_xla():

@@ -171,11 +171,13 @@ def _fused_layer_mode(cfg: ModelConfig, s: int) -> str | None:
     # to the 128-lane boundary (exact — ops/fused_layer.py)
     if cfg.hidden_size % 128 or s % 8:
         return None
-    # same crossover as attention_impl="auto": the wide layout's H x
-    # redundant score MACs grow with S^2 and the VMEM block shrinks to 1
-    # element — measured WIN at seq 32 (3.10 -> 2.30 ms/step flagship) but
-    # LOSS at seq 128 (10.24 vs 9.11 ms config-#4 encoder fwd+bwd)
-    if s > 64:
+    # s <= 64 runs the wide layout (measured WIN at seq 32: 3.10 -> 2.30
+    # ms/step flagship); 64 < s <= 128 runs the per-head tall layout
+    # (ops/fused_layer._attention_tall — the wide layout's H x redundant
+    # score MACs LOSE there: 10.24 vs 9.11 ms config-#4 encoder fwd+bwd).
+    # Above 128 the per-head probs residency blows the VMEM block budget;
+    # the XLA split path takes over.
+    if s > 128:
         return None
     try:
         return "compiled" if jax.default_backend() != "cpu" else None

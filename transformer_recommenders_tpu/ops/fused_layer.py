@@ -202,6 +202,97 @@ def _attention_wide(q, k, v, bias, hmask, elem, seed, *, num_heads, s, scale,
     return ctx.astype(dtype), probs, dropped, keep, qw
 
 
+def _head_probs_idx(elem, h: int, num_heads: int, s: int):
+    """uint32 linear index into the global (B, H, S, S) probs layout for one
+    element's head-h (S, S) score matrix — the same stream the XLA split
+    path's ``_dropout`` hashes, so tall-path dropout is bit-identical."""
+    r = jax.lax.broadcasted_iota(jnp.uint32, (s, s), 0)
+    t = jax.lax.broadcasted_iota(jnp.uint32, (s, s), 1)
+    return (
+        (elem.astype(jnp.uint32) * jnp.uint32(num_heads) + jnp.uint32(h))
+        * jnp.uint32(s * s)
+        + r * jnp.uint32(s)
+        + t
+    )
+
+
+def _attention_tall(q, k, v, bias, elem, seed, *, num_heads, s, d, scale,
+                    rate, dtype, want_residuals):
+    """One element's attention via per-head (S, Dh) slices — the layout for
+    LONG sequences (s > 64), where the wide formulation's H x redundant
+    score MACs dominate (H*S^2*D vs H*S^2*Dh: 8x at config #4's H=8) and a
+    (S, S) = (128, 128) probs matrix fills the VPU lanes on its own.  The
+    QK^T contraction depth is only Dh (MXU underfill), but that term is
+    ~4x smaller than the wide layout's full-depth-but-8x-wider one.
+
+    Numerics match the XLA ``attention_impl="split"`` path: f32 scores and
+    softmax, probs cast to the compute dtype for PV, f32 context.
+    """
+    dh = d // num_heads
+    bias_full = bias if bias.shape[0] == s else jnp.broadcast_to(bias, (s, s))
+    ctx_cols, probs_l, dropped_l = [], [], []
+    for h in range(num_heads):
+        cs = slice(h * dh, (h + 1) * dh)
+        scores = jnp.dot(
+            q[:, cs], k[:, cs].T, preferred_element_type=jnp.float32
+        ) * scale
+        probs = jax.nn.softmax(scores + bias_full, axis=-1)
+        if rate > 0.0:
+            keep = _keep(seed, _head_probs_idx(elem, h, num_heads, s), rate)
+            dropped = jnp.where(keep, probs / (1.0 - rate), 0.0)
+        else:
+            dropped = probs
+        ctx_cols.append(
+            jnp.dot(
+                dropped.astype(dtype), v[:, cs],
+                preferred_element_type=jnp.float32,
+            )
+        )
+        if want_residuals:
+            probs_l.append(probs)
+            dropped_l.append(dropped)
+    ctx = jnp.concatenate(ctx_cols, axis=1)  # (S, D) f32
+    return ctx.astype(dtype), probs_l, dropped_l
+
+
+def _attention_tall_bwd(gctx, probs_l, dropped_l, q, k, v, elem, seed, *,
+                        num_heads, s, d, scale, rate, dtype):
+    """VJP of :func:`_attention_tall`; returns (S, 3D) f32 d(qkv) rows."""
+    dh = d // num_heads
+    dq_cols, dk_cols, dv_cols = [], [], []
+    for h in range(num_heads):
+        cs = slice(h * dh, (h + 1) * dh)
+        gc = gctx[:, cs].astype(dtype)
+        probs, dropped = probs_l[h], dropped_l[h]
+        dv_cols.append(
+            jnp.dot(dropped.T.astype(dtype), gc, preferred_element_type=jnp.float32)
+        )
+        d_dropped = jnp.dot(gc, v[:, cs].T, preferred_element_type=jnp.float32)
+        if rate > 0.0:
+            keep = _keep(seed, _head_probs_idx(elem, h, num_heads, s), rate)
+            d_probs = jnp.where(keep, d_dropped / (1.0 - rate), 0.0)
+        else:
+            d_probs = d_dropped
+        d_scores = probs * (
+            d_probs - jnp.sum(d_probs * probs, axis=-1, keepdims=True)
+        )
+        d_scores = (d_scores * scale).astype(dtype)
+        dq_cols.append(
+            jnp.dot(d_scores, k[:, cs], preferred_element_type=jnp.float32)
+        )
+        dk_cols.append(
+            jnp.dot(d_scores.T, q[:, cs], preferred_element_type=jnp.float32)
+        )
+    return jnp.concatenate(
+        [
+            jnp.concatenate(dq_cols, axis=1),
+            jnp.concatenate(dk_cols, axis=1),
+            jnp.concatenate(dv_cols, axis=1),
+        ],
+        axis=1,
+    )
+
+
 def _layer_fwd_block(x, mask_blk, params, seeds, base_elem, *, num_heads, s,
                      d, causal, attn_rate, hidden_rate, eps, dtype,
                      want_residuals: bool):
@@ -210,7 +301,8 @@ def _layer_fwd_block(x, mask_blk, params, seeds, base_elem, *, num_heads, s,
     intermediates the backward needs."""
     bt = x.shape[0]
     rows = bt * s
-    hmask = _hmask(num_heads, s, d, dtype)
+    tall = s > 64  # per-head slices beat the wide layout's H x score MACs
+    hmask = None if tall else _hmask(num_heads, s, d, dtype)
     scale = 1.0 / math.sqrt(d // num_heads)
 
     xf = x.reshape(rows, d)
@@ -223,6 +315,16 @@ def _layer_fwd_block(x, mask_blk, params, seeds, base_elem, *, num_heads, s,
         k = qkv[rs, d : 2 * d]
         v = qkv[rs, 2 * d :]
         bias = _bias(mask_blk[b : b + 1], s, causal)
+        if tall:
+            ctx, probs_l, dropped_l = _attention_tall(
+                q, k, v, bias, base_elem + b, seeds[0],
+                num_heads=num_heads, s=s, d=d, scale=scale, rate=attn_rate,
+                dtype=dtype, want_residuals=want_residuals,
+            )
+            ctx_all.append(ctx)
+            if want_residuals:
+                attn_res.append((probs_l, dropped_l))
+            continue
         ctx, probs, dropped, keep, qw = _attention_wide(
             q, k, v, bias, hmask, base_elem + b, seeds[0],
             num_heads=num_heads, s=s, scale=scale, rate=attn_rate,
@@ -361,10 +463,41 @@ def _bwd_kernel(x_ref, mask_ref, seed_ref, g_ref, *refs,
         dam, params["out_w"].astype(dtype).T, preferred_element_type=jnp.float32
     )
 
-    # attention backward per element (wide layout)
+    # attention backward per element
+    scale = 1.0 / math.sqrt(d // num_heads)
+    if s > 64:  # tall path (see _attention_tall)
+        dqkv = []
+        for b in range(bt):
+            rs = slice(b * s, (b + 1) * s)
+            probs_l, dropped_l = res["attn"][b]
+            dqkv.append(
+                _attention_tall_bwd(
+                    dctx[rs], probs_l, dropped_l,
+                    res["qkv"][rs, :d], res["qkv"][rs, d : 2 * d],
+                    res["qkv"][rs, 2 * d :],
+                    base_elem + b, seeds[0],
+                    num_heads=num_heads, s=s, d=d, scale=scale,
+                    rate=attn_rate, dtype=dtype,
+                )
+            )
+        dqkv = jnp.concatenate(dqkv, axis=0)
+        dqm = dqkv.astype(dtype)
+        xfm = res["xf"].astype(dtype)
+        dparams["qkv_w"] = jnp.dot(
+            xfm.T, dqm, preferred_element_type=jnp.float32
+        )
+        dparams["qkv_b"] = jnp.sum(dqkv, axis=0, keepdims=True)
+        dx0 = dx0 + jnp.dot(
+            dqm, params["qkv_w"].astype(dtype).T,
+            preferred_element_type=jnp.float32,
+        )
+        dx_ref[:] = dx0.reshape(bt, s, d).astype(dx_ref.dtype)
+        for name, ref in zip(_PARAM_NAMES, dparam_refs):
+            ref[:] += dparams[name].astype(jnp.float32)
+        return
+
     hmask = _hmask(num_heads, s, d, dtype)
     hmask_f = hmask.astype(jnp.float32)
-    scale = 1.0 / math.sqrt(d // num_heads)
     dqkv = []
     for b in range(bt):
         probs, dropped, qw, k, v, bias = res["attn"][b]
@@ -426,8 +559,11 @@ def _pick_block_batch(b: int, s: int, d: int, f: int, num_heads: int) -> int:
     with the block."""
     hs = num_heads * s
     static = 2 * 4 * (3 * d * d + d * d + 2 * d * f + 8 * d)  # params+grads f32
-    wide = 2 * hs * d * 2 + 4 * hs * s * 4 + hs * d * 4
-    per_elem = s * (3 * d + 2 * f + 8 * d) * 4 + wide
+    if s > 64:  # tall path: per-head (S, S) probs/dropped f32 residuals
+        attn = (2 * num_heads + 4) * s * s * 4
+    else:  # wide path: (H*S, D) qw/gw bf16 + (H*S, S) probs-family f32
+        attn = 2 * hs * d * 2 + 4 * hs * s * 4 + hs * d * 4
+    per_elem = s * (3 * d + 2 * f + 8 * d) * 4 + attn
     # 14 MB: bt=16 at the flagship shape (measured 2.33 ms/step vs 2.34 at
     # bt=8, 2.67 at bt=4); bt=32 exceeds VMEM and fails to compile
     budget = 14_000_000 - static
