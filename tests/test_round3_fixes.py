@@ -161,6 +161,17 @@ def test_nonfinite_monitor_warns(tmp_path):
         t.fit()
 
 
+def test_serve_workers_refuses_fork_of_live_app():
+    """Round-3 fix: even on a CPU backend, serve(workers>1) must refuse —
+    forking after JAX init deadlocks the child (measured,
+    scripts/bench_serving_workers.py); multi-worker goes through
+    serve_workers (spawn)."""
+    from transformer_recommenders_tpu.serving import asgi
+
+    with pytest.raises(RuntimeError, match="serve_workers"):
+        asgi.serve(asgi.JSONApp(), workers=4)
+
+
 def test_list_offset_overflow_guard():
     _check_list_offsets_fit_int32(2**31 - 1)  # fine
     with pytest.raises(OverflowError, match="int32"):

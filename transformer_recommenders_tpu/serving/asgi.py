@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import asyncio
 import json
+import os
+import socket
 from typing import Any, Awaitable, Callable
 
 Handler = Callable[[dict], Awaitable[Any]]
@@ -181,26 +183,33 @@ class TestClient:
 
 
 def serve(
-    app: JSONApp, host: str = "0.0.0.0", port: int = 3000, *, workers: int = 1
+    app: JSONApp,
+    host: str = "0.0.0.0",
+    port: int = 3000,
+    *,
+    workers: int = 1,
+    reuse_port: bool = False,
 ) -> None:
-    """Blocking HTTP server bridging into the ASGI app.
+    """Blocking HTTP server bridging into the ASGI app (ONE process).
 
-    ``workers > 1`` forks that many processes, each binding the same port
-    with ``SO_REUSEPORT`` (kernel load-balancing) — the stdlib equivalent
-    of the reference's BentoML ``workers="cpu_count"``
-    (``xfmr_rec/service.py:206``).
+    Multi-worker serving goes through :func:`serve_workers` — passing
+    ``workers > 1`` here raises.  Two reasons, both measured:
 
-    TPU SAFETY: a TPU chip can be opened by exactly ONE process.  The app
-    has already initialized JAX (the model/index loaded at service
-    construction), so forked children would inherit and re-open the same
-    device — undefined behavior on exactly the hardware this framework
-    targets.  Multi-worker serving therefore requires a CPU JAX backend
-    (set ``JAX_PLATFORMS=cpu``, or point the index backend at "host");
-    with an accelerator visible this raises instead of corrupting the
-    device state.
+    - TPU SAFETY: a TPU chip can be opened by exactly ONE process; the app
+      has already initialized JAX, so any worker fan-out from this process
+      would share the device — undefined behavior.
+    - FORK SAFETY: even on a CPU backend, ``os.fork()`` after JAX
+      initialization deadlocks the child on inherited thread state (the
+      round-2 fork design hung on its first forked request —
+      scripts/bench_serving_workers.py history).  Workers must be SPAWNED
+      fresh and load the artifact themselves, which needs the artifact
+      path, not a live app object.
+
+    ``reuse_port`` sets SO_REUSEPORT before bind so several independently
+    spawned server processes can share the port (kernel load-balancing);
+    :func:`serve_workers` and the worker entrypoint use it.
     """
     import http.server
-    import os
     import socket
     import socketserver
 
@@ -210,13 +219,19 @@ def serve(
         backend = jax.default_backend()
         if backend != "cpu":
             msg = (
-                f"workers={workers} forks processes, but the JAX backend is "
-                f"{backend!r} and an accelerator cannot be shared across "
-                "processes. Run with workers=1 (device-owning process), or "
-                "serve workers on CPU (JAX_PLATFORMS=cpu) behind a single "
-                "device-owning embedder."
+                f"workers={workers} needs worker processes, but the JAX "
+                f"backend is {backend!r} and an accelerator cannot be shared "
+                "across processes. Run with workers=1 (device-owning "
+                "process), or serve CPU workers via serve_workers()."
             )
             raise RuntimeError(msg)
+        msg = (
+            f"serve(workers={workers}) cannot fork an already-initialized "
+            "app: JAX's threads deadlock in forked children. Use "
+            "serve_workers(artifact_dir, ...) which spawns fresh worker "
+            "processes that each load the artifact."
+        )
+        raise RuntimeError(msg)
 
     class Bridge(http.server.BaseHTTPRequestHandler):
         def _respond(self) -> None:
@@ -250,14 +265,62 @@ def serve(
         allow_reuse_address = True
 
         def server_bind(self) -> None:
-            if workers > 1 and hasattr(socket, "SO_REUSEPORT"):
+            if reuse_port and hasattr(socket, "SO_REUSEPORT"):
                 self.socket.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEPORT, 1)
             super().server_bind()
 
-    if workers > 1 and hasattr(socket, "SO_REUSEPORT"):
-        for _ in range(workers - 1):
-            if os.fork() == 0:
-                break  # child falls through to serve
-
     with Server((host, port), Bridge) as server:
         server.serve_forever()
+
+
+def serve_workers(
+    artifact_dir: str,
+    host: str = "0.0.0.0",
+    port: int = 3000,
+    *,
+    workers: int = 2,
+) -> None:
+    """Multi-worker serving: SPAWN ``workers`` fresh processes, each loading
+    the Service artifact on the CPU JAX backend and binding the same port
+    with SO_REUSEPORT (kernel load-balancing) — the stdlib equivalent of the
+    reference's BentoML ``workers="cpu_count"``
+    (``xfmr_rec/service.py:206``).
+
+    Spawning (not forking) is load-bearing: forked children inherit JAX's
+    thread state and deadlock (see :func:`serve`); each spawned worker
+    initializes its own CPU backend, so no accelerator is ever shared.
+    Blocks until interrupted; workers are terminated on exit.
+    """
+    import signal
+    import subprocess
+    import sys
+
+    if not hasattr(socket, "SO_REUSEPORT"):  # pragma: no cover - non-Linux
+        msg = "serve_workers needs SO_REUSEPORT (Linux)"
+        raise RuntimeError(msg)
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                "-m",
+                "transformer_recommenders_tpu.serving.worker",
+                str(artifact_dir),
+                host,
+                str(port),
+            ],
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        for _ in range(workers)
+    ]
+    try:
+        for p in procs:
+            p.wait()
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.send_signal(signal.SIGTERM)
+        for p in procs:
+            try:
+                p.wait(timeout=10)
+            except subprocess.TimeoutExpired:  # pragma: no cover
+                p.kill()

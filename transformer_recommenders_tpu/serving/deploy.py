@@ -136,11 +136,19 @@ def cli_main() -> None:
         help="SO_REUSEPORT worker processes (parity: BentoML workers)",
     )
     args = parser.parse_args()
+    if args.workers > 1 and not args.artifact_dir:
+        parser.error("--workers>1 needs --artifact_dir (workers load it)")
     service = main(args.ckpt_path, args.artifact_dir)
     if args.serve:
-        from transformer_recommenders_tpu.serving.asgi import serve
+        from transformer_recommenders_tpu.serving.asgi import serve, serve_workers
 
-        serve(service.to_asgi(), port=args.port, workers=args.workers)
+        if args.workers > 1:
+            # spawned CPU workers (fork-after-jax-init deadlocks; asgi.py)
+            serve_workers(
+                args.artifact_dir, port=args.port, workers=args.workers
+            )
+        else:
+            serve(service.to_asgi(), port=args.port)
 
 
 if __name__ == "__main__":
