@@ -1,9 +1,15 @@
-"""Pallas vs XLA attention bench at BASELINE.json config #4 shape.
+"""Fused-tall-layer vs XLA encoder bench at BASELINE.json config #4 shape.
 
 seq 128, d=256, 6 layers — the config where attention is the
-quadratic-largest op (VERDICT round-1 item #4).  Times a full encoder
-forward+backward (the training direction) with the XLA attention path vs
-the fused Pallas kernel, dropout off and on.
+quadratic-largest op.  Times a full encoder forward+backward (the training
+direction): the XLA layer stack (``use_fused_layer=False``, attention_impl
+auto->split) vs the megafusion kernel's per-head TALL layout
+(``use_fused_layer=True``, round 3 — the round-2 wide layout lost here and
+the standalone Pallas attention kernel lost to XLA at every shape and was
+retired; see BASELINE.md attention table).
+
+Benchmark hygiene (memory: axon-dispatch-memoization): fresh input per rep,
+first timed calls discarded, per-call block_until_ready medians.
 
 Run on the real TPU: python scripts/bench_attention.py [batch]
 """
@@ -24,8 +30,9 @@ from transformer_recommenders_tpu.configs import ModelConfig  # noqa: E402
 from transformer_recommenders_tpu.models import transformer as T  # noqa: E402
 
 
-def bench(cfg: ModelConfig, x, mask, *, dropout: bool, reps=50) -> float:
+def bench(cfg: ModelConfig, shape, mask, *, dropout: bool, reps=30) -> float:
     rng = jax.random.key(0) if dropout else None
+    gen = np.random.default_rng(1)
 
     def loss(params, x):
         out = T.transformer_encode(params, cfg, x, mask, dropout_rng=rng)
@@ -33,21 +40,26 @@ def bench(cfg: ModelConfig, x, mask, *, dropout: bool, reps=50) -> float:
 
     params = T.init_transformer_params(jax.random.key(1), cfg)
     step = jax.jit(jax.grad(loss))
-    g = step(params, x)
-    jax.block_until_ready(g)
-    t0 = time.perf_counter()
-    for _ in range(reps):
+
+    def fresh():
+        return jnp.asarray(gen.normal(size=shape).astype(np.float32))
+
+    jax.block_until_ready(step(params, fresh()))  # compile
+    times = []
+    for i in range(reps + 3):
+        x = fresh()
+        t0 = time.perf_counter()
         g = step(params, x)
-    jax.block_until_ready(g)
-    return (time.perf_counter() - t0) / reps * 1e3
+        jax.block_until_ready(g)
+        if i >= 3:
+            times.append(time.perf_counter() - t0)
+    return float(np.median(times)) * 1e3
 
 
 def main() -> None:
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     s, d, h, layers = 128, 256, 8, 6
     print(f"devices: {jax.devices()}  batch={b} seq={s} d={d} layers={layers}")
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
     mask_np = np.ones((b, s), bool)
     mask_np[:, 100:] = False  # realistic padded tails
     mask = jnp.asarray(mask_np)
@@ -58,21 +70,21 @@ def main() -> None:
     )
     results = {}
     for dropout in (False, True):
-        for pallas in (False, True):
+        for fused in (False, True):
             cfg = ModelConfig(
                 **base,
-                use_pallas_attention=pallas,
+                use_fused_layer=fused,
                 hidden_dropout=0.1 if dropout else 0.0,
                 attention_dropout=0.1 if dropout else 0.0,
             )
-            ms = bench(cfg, x, mask, dropout=dropout)
-            key = f"{'pallas' if pallas else 'xla'}_dropout={dropout}"
+            ms = bench(cfg, (b, s, d), mask, dropout=dropout)
+            key = f"{'fused_tall' if fused else 'xla'}_dropout={dropout}"
             results[key] = ms
-            print(f"{key}: {ms:.3f} ms/step (fwd+bwd)")
+            print(f"{key}: {ms:.3f} ms/step (fwd+bwd)", flush=True)
     for dropout in (False, True):
         xla = results[f"xla_dropout={dropout}"]
-        pal = results[f"pallas_dropout={dropout}"]
-        print(f"dropout={dropout}: pallas speedup {xla / pal:.2f}x")
+        fz = results[f"fused_tall_dropout={dropout}"]
+        print(f"dropout={dropout}: fused-tall speedup {xla / fz:.2f}x")
 
 
 if __name__ == "__main__":

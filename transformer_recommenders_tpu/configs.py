@@ -73,13 +73,13 @@ class ModelConfig(pydantic.BaseModel):
     # 3.1 ms step against a 0.2 ms FLOP bound.  Auto-gated: TPU backend,
     # hidden/intermediate sizes multiples of 128, seq a multiple of 8;
     # falls back to the XLA layer otherwise.  When active it subsumes
-    # use_pallas_attention/attention_impl/remat_layers
+    # attention_impl/remat_layers
     use_fused_layer: bool = True
-    # fuse QK^T -> softmax -> dropout -> PV into one Pallas kernel per
-    # (batch, head) — no (B, H, S, S) probs in HBM (ops/flash_attention.py).
-    # Pays off when attention is the quadratic-largest op (seq 128 configs);
-    # XLA path is used on CPU backends regardless
-    use_pallas_attention: bool = False
+    # NOTE: a standalone fused-attention kernel (use_pallas_attention,
+    # round 2) was measured and RETIRED in round 3: it lost to the tuned
+    # XLA attention at every benched shape (BASELINE.md attention table);
+    # its layouts live on inside the fused layer (wide s <= 64, per-head
+    # tall s <= 128 — ops/fused_layer.py)
     # XLA attention formulation.  "split": classic head-split einsum
     # (B,S,H,Dh) — the textbook form, but with Dh < 128 every head split
     # forces lane-splitting relayout copies (traced at ~0.7 ms/step at the

@@ -141,7 +141,7 @@ def _dropout(x: jax.Array, rate: float, rng: jax.Array | None) -> jax.Array:
     the surrounding softmax/matmul fusions; the stream differs from
     jax.random (immaterial for dropout — the reference's torch stream
     never matched either).  Same construction as the in-kernel dropout of
-    ``ops/flash_attention.py``.
+    ``ops/attention_common._dropout_keep``.
     """
     if rng is None or rate <= 0.0:
         return x
@@ -193,18 +193,6 @@ def _dropout_site_seeds(keys: jax.Array) -> jax.Array:
     return kd[:, -1] ^ (kd[:, 0] * jnp.uint32(0x9E3779B1))
 
 
-def _pallas_attention_mode(cfg: ModelConfig) -> str | None:
-    """None -> XLA attention; "compiled"/"interpret" -> the fused Pallas
-    kernel (``ops/flash_attention.py``).  Interpret mode exists for CPU
-    tests (monkeypatched there); compiled mode requires a real TPU."""
-    if not cfg.use_pallas_attention:
-        return None
-    try:
-        return "compiled" if jax.default_backend() != "cpu" else None
-    except RuntimeError:  # pragma: no cover - backend init failure
-        return None
-
-
 def _attention(
     x: jax.Array,
     p: Params,
@@ -225,31 +213,11 @@ def _attention(
     q, k, v = qkv[..., :d], qkv[..., d : 2 * d], qkv[..., 2 * d :]
     scale = 1.0 / math.sqrt(dh)
 
-    mode = _pallas_attention_mode(cfg)
-    if mode is not None:
-        from transformer_recommenders_tpu.ops.flash_attention import (
-            flash_attention,
-        )
-
-        rate = cfg.attention_dropout if rng is not None else 0.0
-        seed = (
-            jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max)
-            if rate > 0.0
-            else None
-        )
-        # heads stay packed in the last dim — the kernel slices per head,
-        # so no (B,H,S,Dh) relayout ever materializes
-        ctx = flash_attention(
-            q, k, v, key_mask,
-            num_heads=h,
-            scale=scale,
-            causal=cfg.is_decoder,
-            dropout_rate=rate,
-            dropout_seed=seed,
-            interpret=mode == "interpret",
-        )
-        return _dense(ctx.astype(dtype), p["out"], dtype)
-
+    # Fused Pallas attention lives INSIDE the megafusion layer kernel
+    # (ops/fused_layer.py: wide layout s <= 64, per-head tall layout
+    # s <= 128).  A standalone use_pallas_attention kernel existed in
+    # round 2 and was retired: it lost to this XLA path at every benched
+    # shape (BASELINE.md attention table).
     bias = jnp.where(key_mask[:, None, None, :], 0.0, _NEG_INF)  # mask padded keys
     if cfg.is_decoder:
         causal = jnp.tril(jnp.ones((s, s), jnp.bool_))

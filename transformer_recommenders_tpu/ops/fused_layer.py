@@ -3,7 +3,8 @@
 One program computes an ENTIRE post-LN transformer layer for a block of
 batch elements with every intermediate resident in VMEM:
 
-    qkv dense -> wide-layout attention (ops/flash_attention.py formulation)
+    qkv dense -> attention (wide layout for s <= 64, per-head tall layout
+    for 64 < s <= 128 — ops/attention_common.py has the shared pieces)
     -> out dense -> dropout -> add&LN -> FFN (exact gelu) -> dropout
     -> add&LN
 
@@ -55,7 +56,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from transformer_recommenders_tpu.ops.flash_attention import (
+from transformer_recommenders_tpu.ops.attention_common import (
     _bias,
     _combine,
     _hmask,

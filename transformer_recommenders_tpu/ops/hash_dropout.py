@@ -3,7 +3,7 @@
 One murmur3-fmix32 avalanche is used by the XLA path
 (``models/transformer._dropout``), the fused-layer kernel
 (``ops/fused_layer._keep``) and the attention kernel
-(``ops/flash_attention._dropout_keep``).  The fused/XLA dropout-stream
+(``ops/attention_common._dropout_keep``).  The fused/XLA dropout-stream
 bit-identity guarantee (tests/test_fused_layer.py) depends on all sites
 computing the SAME function of (element index, seed) — this module is the
 single source of truth so an edit cannot silently split the streams.
