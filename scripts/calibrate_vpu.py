@@ -34,20 +34,30 @@ from transformer_recommenders_tpu.ops.vpu_calibration import (  # noqa: E402
 
 INTERPRET = "--interpret" in sys.argv
 SHAPE = (1024, 512)  # 2 MB f32, VMEM-resident
-K_LO, K_HI = 256, 1024
+# wide K spread: the slope must be several ms so the ~31 ms tunnel
+# round-trip (cancelled by differencing) and its jitter don't swamp it
+K_LO, K_HI = 2048, 16384
 REPS = 10
 DISCARD = 3
 
 
 def time_chain(mix: str, iters: int) -> float:
-    """Median seconds/call with per-rep fresh inputs."""
+    """Median seconds/call with per-rep fresh inputs.
+
+    The inputs are block_until_ready'd BEFORE the timed window: jnp.asarray
+    is async, and over the axon tunnel the 2 MB host->device upload costs
+    ~80 ms — the first capture of this script timed that transfer, not the
+    kernel (round-3 fix)."""
     rng = np.random.default_rng(iters)
     # warmup + compile
     x = jnp.asarray(rng.random(SHAPE, np.float32))
     vpu_chain(x, iters=iters, mix=mix, interpret=INTERPRET).block_until_ready()
+    xs = [
+        jnp.asarray(rng.random(SHAPE, np.float32) + 0.5).block_until_ready()
+        for _ in range(REPS + DISCARD)
+    ]
     times = []
-    for r in range(REPS + DISCARD):
-        x = jnp.asarray(rng.random(SHAPE, np.float32) + 0.5)
+    for r, x in enumerate(xs):
         t0 = time.perf_counter()
         out = vpu_chain(x, iters=iters, mix=mix, interpret=INTERPRET)
         out.block_until_ready()

@@ -203,6 +203,183 @@ def _attention_wide(q, k, v, bias, hmask, elem, seed, *, num_heads, s, scale,
     return ctx.astype(dtype), probs, dropped, keep, qw
 
 
+def _packed_probs_idx(elem_base, g: int, num_heads: int, s: int):
+    """uint32 linear index into the global (B, H, S, S) probs layout for a
+    PACKED (H*S, g*S) score tile holding g consecutive elements side by
+    side in the lane dim (element j occupies lanes jS:(j+1)S).  Row r is
+    the wide row h*S + s_q; lane l addresses element ``elem_base + l//S``
+    at key position ``l % S`` — the identical stream `_probs_idx` hashes,
+    so packed dropout is bit-identical to the unpacked wide path."""
+    hs = num_heads * s
+    r = jax.lax.broadcasted_iota(jnp.uint32, (hs, g * s), 0)
+    lane = jax.lax.broadcasted_iota(jnp.uint32, (hs, g * s), 1)
+    j = lane // jnp.uint32(s)
+    t = lane % jnp.uint32(s)
+    return (
+        (elem_base.astype(jnp.uint32) + j) * jnp.uint32(num_heads * s * s)
+        + r * jnp.uint32(s)
+        + t
+    )
+
+
+def _attention_wide_packed(qkv, biases, hmask, elem_base, seed, *, num_heads,
+                           s, d, g, scale, rate, dtype, want_residuals):
+    """g elements' wide attention in ONE packed score tile (ROADMAP
+    round-3 design: probs-tile lane packing).
+
+    At S=32 the per-element (H*S, S) f32 probs tile fills only S of the
+    128 VPU lanes; every probs-space elementwise op (bias add, exp,
+    dropout hash, scaling) wastes 3/4 of each vreg.  Packing g = 128//S
+    elements side by side via a BLOCK-DIAGONAL contraction makes all of
+    that work run g elements per vreg:
+
+        Qp (H*S, g*D): element j's masked-wide q in column block j
+        Kp (g*S, g*D): block-diagonal, element j's k at rows jS:, cols jD:
+        dot_general(Qp, Kp, contract last dims) -> (H*S, g*S) scores with
+        NO cross terms — Kp row jS+t is zero outside column block j, and
+        the extra zero products accumulate exactly, so packed scores are
+        BIT-IDENTICAL to the unpacked jnp.dot(qw, k.T).
+
+    Softmax is segmented: an exact per-segment max (g masked lane-reduces
+    — handles fully-masked rows identically to the unpacked path, where
+    the constant -1e9 bias cancels) and a segment sum via one MXU matmul
+    with a block-diagonal ones matrix.  PV uses the same block-diagonal
+    Vp, and per-element context columns are lane-aligned slices.
+    """
+    hs = num_heads * s
+    zeros_sd = jnp.zeros((s, d), dtype)
+    qws, k_slabs, v_slabs, bias_cols = [], [], [], []
+    for j in range(g):
+        rs = slice(j * s, (j + 1) * s)
+        q = qkv[rs, :d]
+        k = qkv[rs, d : 2 * d]
+        v = qkv[rs, 2 * d :]
+        qws.append(_wide(q, num_heads) * hmask)
+        k_slabs.append(jnp.concatenate(
+            [k if jj == j else zeros_sd for jj in range(g)], axis=1))
+        v_slabs.append(jnp.concatenate(
+            [v if jj == j else zeros_sd for jj in range(g)], axis=1))
+        # non-causal _bias is a (1, S) key-padding row — keep it broadcast;
+        # causal bias is (S, S) and needs the wide (H*S, S) tiling
+        bias_cols.append(
+            _wide(biases[j], num_heads)
+            if biases[j].shape[0] == s
+            else biases[j]
+        )
+    qp = jnp.concatenate(qws, axis=1)          # (H*S, g*D)
+    kp = jnp.concatenate(k_slabs, axis=0)      # (g*S, g*D) block-diag
+    vp = jnp.concatenate(v_slabs, axis=0)      # (g*S, g*D) block-diag
+    biasp = jnp.concatenate(bias_cols, axis=1)  # (H*S, g*S)
+
+    scores = jax.lax.dot_general(
+        qp, kp, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    x = scores + biasp                          # (H*S, g*S) f32
+    seg = jax.lax.broadcasted_iota(jnp.int32, (hs, g * s), 1) // s
+    mtile = jnp.zeros_like(x)
+    neg = jnp.float32(-3.4e38)
+    for j in range(g):
+        in_j = seg == j
+        mj = jnp.max(jnp.where(in_j, x, neg), axis=-1, keepdims=True)
+        mtile = jnp.where(in_j, mj, mtile)
+    e = jnp.exp(x - mtile)
+    # segment sum broadcast back to every lane in one matmul: ones where
+    # row and column fall in the same S-lane segment
+    blockones = (
+        jax.lax.broadcasted_iota(jnp.int32, (g * s, g * s), 0) // s
+        == jax.lax.broadcasted_iota(jnp.int32, (g * s, g * s), 1) // s
+    ).astype(jnp.float32)
+    denom = jax.lax.dot_general(
+        e, blockones, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    probs = e / denom
+    if rate > 0.0:
+        keep = _keep(seed, _packed_probs_idx(elem_base, g, num_heads, s), rate)
+        dropped = jnp.where(keep, probs / (1.0 - rate), 0.0)
+    else:
+        dropped = probs
+    ctxp = jnp.dot(
+        dropped.astype(dtype), vp, preferred_element_type=jnp.float32
+    ).astype(dtype)                             # (H*S, g*D)
+    hmask_f = hmask.astype(jnp.float32)
+    ctx = jnp.concatenate(
+        [
+            _combine(
+                ctxp[:, j * d : (j + 1) * d].astype(jnp.float32), hmask_f,
+                s, num_heads,
+            )
+            for j in range(g)
+        ],
+        axis=0,
+    ).astype(dtype)                             # (g*S, D)
+    if not want_residuals:
+        return ctx, None
+    return ctx, (probs, dropped, qp, kp, vp)
+
+
+def _attention_wide_packed_bwd(gctx, res, hmask_f, elem_base, seed, *,
+                               num_heads, s, d, g, scale, rate, dtype):
+    """VJP of :func:`_attention_wide_packed`; returns (g*S, 3D) f32 d(qkv).
+
+    dv/dk contract over the shared row dim, producing (g*S, g*D) tiles
+    whose off-diagonal blocks are discarded (extra MXU work the packed
+    layout pays for its VPU density — the kernel is VPU-issue-bound, see
+    BASELINE.md).  All probs-space elementwise work (dropout backward,
+    the softmax VJP's segmented row sum) runs packed."""
+    probs, dropped, qp, kp, vp = res
+    hs = num_heads * s
+    gws = [
+        (_wide(gctx[j * s : (j + 1) * s], num_heads) * hmask_f).astype(dtype)
+        for j in range(g)
+    ]
+    gwp = jnp.concatenate(gws, axis=1)          # (H*S, g*D)
+    dv_full = jax.lax.dot_general(
+        dropped.astype(dtype), gwp, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                            # (g*S, g*D), diag blocks
+    d_dropped = jax.lax.dot_general(
+        gwp, vp, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                            # (H*S, g*S)
+    if rate > 0.0:
+        keep = _keep(seed, _packed_probs_idx(elem_base, g, num_heads, s), rate)
+        d_probs = jnp.where(keep, d_dropped / (1.0 - rate), 0.0)
+    else:
+        d_probs = d_dropped
+    blockones = (
+        jax.lax.broadcasted_iota(jnp.int32, (g * s, g * s), 0) // s
+        == jax.lax.broadcasted_iota(jnp.int32, (g * s, g * s), 1) // s
+    ).astype(jnp.float32)
+    seg_sum = jax.lax.dot_general(
+        d_probs * probs, blockones, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    d_scores = (probs * (d_probs - seg_sum) * scale).astype(dtype)
+    dqw_p = jnp.dot(d_scores, kp, preferred_element_type=jnp.float32)
+    dk_full = jax.lax.dot_general(
+        d_scores, qp, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                            # (g*S, g*D), diag blocks
+    rows = []
+    for j in range(g):
+        cs = slice(j * d, (j + 1) * d)
+        rs = slice(j * s, (j + 1) * s)
+        dq = _combine(dqw_p[:, cs], hmask_f, s, num_heads)
+        rows.append(
+            jnp.concatenate([dq, dk_full[rs, cs], dv_full[rs, cs]], axis=1)
+        )
+    return jnp.concatenate(rows, axis=0)        # (g*S, 3D)
+
+
+def _pack_group(s: int, bt: int) -> int:
+    """Lane-pack group size: how many elements share one (H*S, g*S) probs
+    tile.  Full 128-lane fill needs 128 % s == 0; shrink to bt when the
+    block is smaller than the ideal group (both are powers of two)."""
+    if s > 64 or 128 % s:
+        return 1
+    return min(128 // s, bt)
+
+
 def _head_probs_idx(elem, h: int, num_heads: int, s: int):
     """uint32 linear index into the global (B, H, S, S) probs layout for one
     element's head-h (S, S) score matrix — the same stream the XLA split
@@ -308,6 +485,29 @@ def _layer_fwd_block(x, mask_blk, params, seeds, base_elem, *, num_heads, s,
 
     xf = x.reshape(rows, d)
     qkv = _matmul(xf, params["qkv_w"], params["qkv_b"], dtype)  # (rows, 3D)
+    g = 1 if tall else _pack_group(s, bt)
+    if g > 1:
+        ctx_all, attn_res = [], []
+        for grp in range(bt // g):
+            rs = slice(grp * g * s, (grp + 1) * g * s)
+            biases = [
+                _bias(mask_blk[grp * g + j : grp * g + j + 1], s, causal)
+                for j in range(g)
+            ]
+            ctx_g, res_g = _attention_wide_packed(
+                qkv[rs], biases, hmask, base_elem + grp * g, seeds[0],
+                num_heads=num_heads, s=s, d=d, g=g, scale=scale,
+                rate=attn_rate, dtype=dtype, want_residuals=want_residuals,
+            )
+            ctx_all.append(ctx_g)
+            if want_residuals:
+                attn_res.append(res_g)
+        ctx = jnp.concatenate(ctx_all, axis=0)
+        return _layer_tail(
+            xf, ctx, params, seeds, base_elem, rows=rows, s=s, d=d,
+            hidden_rate=hidden_rate, eps=eps, dtype=dtype,
+            want_residuals=want_residuals, attn_res=attn_res, qkv=qkv,
+        )
     ctx_all = []
     attn_res = []
     for b in range(bt):
@@ -335,7 +535,17 @@ def _layer_fwd_block(x, mask_blk, params, seeds, base_elem, *, num_heads, s,
         if want_residuals:
             attn_res.append((probs, dropped, qw, k, v, bias))
     ctx = jnp.concatenate(ctx_all, axis=0)  # (rows, D)
+    return _layer_tail(
+        xf, ctx, params, seeds, base_elem, rows=rows, s=s, d=d,
+        hidden_rate=hidden_rate, eps=eps, dtype=dtype,
+        want_residuals=want_residuals, attn_res=attn_res, qkv=qkv,
+    )
 
+
+def _layer_tail(xf, ctx, params, seeds, base_elem, *, rows, s, d,
+                hidden_rate, eps, dtype, want_residuals, attn_res, qkv):
+    """out dense -> dropout -> add&LN -> FFN -> dropout -> add&LN (shared
+    by the per-element and lane-packed attention paths)."""
     a = _matmul(ctx, params["out_w"], params["out_b"], dtype)
     base_row = base_elem * s
     if hidden_rate > 0.0:
@@ -466,6 +676,35 @@ def _bwd_kernel(x_ref, mask_ref, seed_ref, g_ref, *refs,
 
     # attention backward per element
     scale = 1.0 / math.sqrt(d // num_heads)
+    g = 1 if s > 64 else _pack_group(s, bt)
+    if g > 1:  # lane-packed wide path (see _attention_wide_packed)
+        hmask_f = _hmask(num_heads, s, d, dtype).astype(jnp.float32)
+        dqkv = jnp.concatenate(
+            [
+                _attention_wide_packed_bwd(
+                    dctx[grp * g * s : (grp + 1) * g * s], res["attn"][grp],
+                    hmask_f, base_elem + grp * g, seeds[0],
+                    num_heads=num_heads, s=s, d=d, g=g, scale=scale,
+                    rate=attn_rate, dtype=dtype,
+                )
+                for grp in range(bt // g)
+            ],
+            axis=0,
+        )
+        dqm = dqkv.astype(dtype)
+        xfm = res["xf"].astype(dtype)
+        dparams["qkv_w"] = jnp.dot(
+            xfm.T, dqm, preferred_element_type=jnp.float32
+        )
+        dparams["qkv_b"] = jnp.sum(dqkv, axis=0, keepdims=True)
+        dx0 = dx0 + jnp.dot(
+            dqm, params["qkv_w"].astype(dtype).T,
+            preferred_element_type=jnp.float32,
+        )
+        dx_ref[:] = dx0.reshape(bt, s, d).astype(dx_ref.dtype)
+        for name, ref in zip(_PARAM_NAMES, dparam_refs):
+            ref[:] += dparams[name].astype(jnp.float32)
+        return
     if s > 64:  # tall path (see _attention_tall)
         dqkv = []
         for b in range(bt):
@@ -562,6 +801,15 @@ def _pick_block_batch(b: int, s: int, d: int, f: int, num_heads: int) -> int:
     static = 2 * 4 * (3 * d * d + d * d + 2 * d * f + 8 * d)  # params+grads f32
     if s > 64:  # tall path: per-head (S, S) probs/dropped f32 residuals
         attn = (2 * num_heads + 4) * s * s * 4
+    elif 128 % s == 0 and s < 128:
+        # lane-packed wide path, per-element share of the per-group tiles:
+        # qp/gwp (H*S, g*D) bf16, block-diag kp/vp (128, g*D) bf16, the
+        # (H*S, 128) f32 probs family, dv/dk full (128, g*D) f32 outputs,
+        # dqw_p (H*S, g*D) f32
+        # measured on v5e: bt=16 at the flagship shape compiles and runs
+        # 1.89 ms/step vs 1.96 at bt=8 — Mosaic's liveness overlaps the
+        # f32 packed outputs, so they are counted at ~half their size
+        attn = hs * d * 6 + 768 * d + 16 * hs * s
     else:  # wide path: (H*S, D) qw/gw bf16 + (H*S, S) probs-family f32
         attn = 2 * hs * d * 2 + 4 * hs * s * 4 + hs * d * 4
     per_elem = s * (3 * d + 2 * f + 8 * d) * 4 + attn
