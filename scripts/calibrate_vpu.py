@@ -35,36 +35,53 @@ from transformer_recommenders_tpu.ops.vpu_calibration import (  # noqa: E402
 INTERPRET = "--interpret" in sys.argv
 SHAPE = (1024, 512)  # 2 MB f32, VMEM-resident
 # wide K spread: the slope must be several ms so the ~31 ms tunnel
-# round-trip (cancelled by differencing) and its jitter don't swamp it
-K_LO, K_HI = 2048, 16384
+# round-trip (cancelled by differencing) and its jitter don't swamp it.
+# K_LO must sit in the linear regime: at K=2048 the loop fully unrolls
+# (<=256 trips) and the compiler collapses the chain algebraically
+# (measured 0.02 ms with CORRECT outputs vs 4.6 ms at K=4096 — the
+# abs-guarded fma is identity-equivalent on the positive domain, so
+# the collapse is value-invisible); K>=4096 points are collinear
+K_LO, K_HI = 4096, 16384
 REPS = 10
 DISCARD = 3
 
 
-def time_chain(mix: str, iters: int) -> float:
-    """Median seconds/call with per-rep fresh inputs.
+CALLS = 20
 
-    The inputs are block_until_ready'd BEFORE the timed window: jnp.asarray
-    is async, and over the axon tunnel the 2 MB host->device upload costs
-    ~80 ms — the first capture of this script timed that transfer, not the
-    kernel (round-3 fix)."""
+
+def time_chain(mix: str, iters: int) -> float:
+    """Median seconds/call over pipelined windows of CALLS chained calls.
+
+    Two axon-tunnel hazards defeated here (first capture of this script
+    fell to both): (a) ``jnp.asarray`` is async and the 2 MB upload costs
+    ~80 ms, so inputs are block_until_ready'd before any timing; (b) a
+    single synchronous dispatch carries a ~31 ms round-trip and per-call
+    medians of small kernels time the tunnel, not the VPU — instead each
+    window dispatches CALLS calls back-to-back feeding output into input
+    (device-side serial, host-side pipelined, and never memoizable) and
+    blocks once, so the round-trip amortizes to ~1.5 ms/call and the
+    K_HI-K_LO slope cancels even that."""
     rng = np.random.default_rng(iters)
-    # warmup + compile
-    x = jnp.asarray(rng.random(SHAPE, np.float32))
-    vpu_chain(x, iters=iters, mix=mix, interpret=INTERPRET).block_until_ready()
-    xs = [
+    # a DISTINCT start input per window: the axon runtime memoizes
+    # (program, args) results, so a window replaying an already-seen chain
+    # returns from cache (the source of the 0.01 ms fma readings)
+    starts = [
         jnp.asarray(rng.random(SHAPE, np.float32) + 0.5).block_until_ready()
         for _ in range(REPS + DISCARD)
     ]
+    vpu_chain(starts[0], iters=iters, mix=mix,
+              interpret=INTERPRET).block_until_ready()
     times = []
-    for r, x in enumerate(xs):
+    for r in range(REPS + DISCARD):
+        x = starts[r]
         t0 = time.perf_counter()
-        out = vpu_chain(x, iters=iters, mix=mix, interpret=INTERPRET)
-        out.block_until_ready()
-        dt = time.perf_counter() - t0
+        for _ in range(CALLS):
+            x = vpu_chain(x, iters=iters, mix=mix, interpret=INTERPRET)
+        x.block_until_ready()
+        dt = (time.perf_counter() - t0) / CALLS
         if r >= DISCARD:
             times.append(dt)
-    float(out[0, 0])  # consume
+    float(x[0, 0])  # consume
     return float(np.median(times))
 
 

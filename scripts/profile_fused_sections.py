@@ -79,24 +79,39 @@ def _stage_fwd_kernel(x_ref, mask_ref, seed_ref, *rest, stage, num_heads, s,
     scale = 1.0 / math.sqrt(d // num_heads)
     tall = s > 64
     hmask = None if tall else FL._hmask(num_heads, s, d, dtype)
+    g = 1 if tall else FL._pack_group(s, bt)
     ctx_all = []
-    for b in range(bt):
-        rs = slice(b * s, (b + 1) * s)
-        q, k, v = qkv[rs, :d], qkv[rs, d : 2 * d], qkv[rs, 2 * d :]
-        bias = FL._bias(mask_ref[b : b + 1], s, causal)
-        if tall:
-            ctx, _, _ = FL._attention_tall(
-                q, k, v, bias, base_elem + b, seeds[0], num_heads=num_heads,
-                s=s, d=d, scale=scale, rate=attn_rate, dtype=dtype,
-                want_residuals=False,
+    if g > 1:  # lane-packed wide path (mirrors _layer_fwd_block)
+        for grp in range(bt // g):
+            rs = slice(grp * g * s, (grp + 1) * g * s)
+            biases = [
+                FL._bias(mask_ref[grp * g + j : grp * g + j + 1], s, causal)
+                for j in range(g)
+            ]
+            ctx_g, _ = FL._attention_wide_packed(
+                qkv[rs], biases, hmask, base_elem + grp * g, seeds[0],
+                num_heads=num_heads, s=s, d=d, g=g, scale=scale,
+                rate=attn_rate, dtype=dtype, want_residuals=False,
             )
-        else:
-            ctx, *_ = FL._attention_wide(
-                q, k, v, bias, hmask, base_elem + b, seeds[0],
-                num_heads=num_heads, s=s, scale=scale, rate=attn_rate,
-                dtype=dtype,
-            )
-        ctx_all.append(ctx)
+            ctx_all.append(ctx_g)
+    else:
+        for b in range(bt):
+            rs = slice(b * s, (b + 1) * s)
+            q, k, v = qkv[rs, :d], qkv[rs, d : 2 * d], qkv[rs, 2 * d :]
+            bias = FL._bias(mask_ref[b : b + 1], s, causal)
+            if tall:
+                ctx, _, _ = FL._attention_tall(
+                    q, k, v, bias, base_elem + b, seeds[0], num_heads=num_heads,
+                    s=s, d=d, scale=scale, rate=attn_rate, dtype=dtype,
+                    want_residuals=False,
+                )
+            else:
+                ctx, *_ = FL._attention_wide(
+                    q, k, v, bias, hmask, base_elem + b, seeds[0],
+                    num_heads=num_heads, s=s, scale=scale, rate=attn_rate,
+                    dtype=dtype,
+                )
+            ctx_all.append(ctx)
     ctx = jnp.concatenate(ctx_all, axis=0)
     if stage == "attn":
         out_ref[:] = ctx.reshape(bt, s, d).astype(out_ref.dtype)
@@ -184,6 +199,16 @@ def _stage_bwd_kernel(x_ref, mask_ref, seed_ref, g_ref, *refs, stage,
                 res["qkv"][rs, 2 * d :], base_elem + b, seeds[0],
                 num_heads=num_heads, s=s, d=d, scale=scale, rate=attn_rate,
                 dtype=dtype,
+            ))
+    elif FL._pack_group(s, bt) > 1:  # lane-packed residuals (per group)
+        g = FL._pack_group(s, bt)
+        hmask_f = FL._hmask(num_heads, s, d, dtype).astype(jnp.float32)
+        for grp in range(bt // g):
+            dqkv.append(FL._attention_wide_packed_bwd(
+                dctx[grp * g * s : (grp + 1) * g * s], res["attn"][grp],
+                hmask_f, base_elem + grp * g, seeds[0],
+                num_heads=num_heads, s=s, d=d, g=g, scale=scale,
+                rate=attn_rate, dtype=dtype,
             ))
     else:
         hmask = FL._hmask(num_heads, s, d, dtype)
@@ -296,22 +321,35 @@ def main() -> None:
 
     print(f"backend: {jax.default_backend()}  shape: {args.shape} {shape}")
     results = {}
+    # timing hygiene (same lessons as scripts/calibrate_vpu.py): inputs are
+    # block_until_ready'd BEFORE any window (jnp.asarray transfers lazily —
+    # ~80 ms/2 MB over the tunnel), and each window chains CALLS dispatches
+    # feeding output into input (same (B,S,D) shape), blocking once — the
+    # ~31 ms synchronous round-trip amortizes to ~1.5 ms and the per-call
+    # jitter that buried sub-ms stage deltas cancels in the median
+    calls = 20
     for direction, stages in (("fwd", FWD_STAGES), ("bwd", BWD_STAGES)):
         prev = 0.0
         for stage in stages:
             fn, bt = _build(shape, stage, direction, args.interpret)
-            g = fresh(-1)
-            fn(fresh(0), mask, seeds, flat, *([] if direction == "fwd" else [g]))
+            g = fresh(-1).block_until_ready()
+            # a DISTINCT start input per window: the axon runtime memoizes
+            # (program, args) results, and a window replaying the same
+            # chain returns entirely from cache (measured 0.03 ms "layers")
+            starts = [
+                fresh(i).block_until_ready() for i in range(args.reps + 3)
+            ]
+            extra = [] if direction == "fwd" else [g]
+            fn(starts[0], mask, seeds, flat, *extra).block_until_ready()
             times = []
             for i in range(args.reps + 3):
-                x = fresh(i)
-                a_ = (x, mask, seeds, flat) if direction == "fwd" else (
-                    x, mask, seeds, flat, g)
+                x = starts[i]
                 t0 = time.perf_counter()
-                out = fn(*a_)
-                out.block_until_ready()
+                for _ in range(calls):
+                    x = fn(x, mask, seeds, flat, *extra)
+                x.block_until_ready()
                 if i >= 3:
-                    times.append(time.perf_counter() - t0)
+                    times.append((time.perf_counter() - t0) / calls)
             ms = float(np.median(times)) * 1e3
             key = f"{direction}/{stage}"
             results[key] = {

@@ -38,12 +38,24 @@ steps = 4 * K
 for plane in xspace.planes:
     if "TPU" not in plane.name and "/device" not in plane.name.lower():
         continue
+    # axon's device plane carries one line per traced dispatch (named
+    # "0".."3") with nested events: module wrapper > while > HLO ops.
+    # Aggregate every event and drop the wrapper levels from the table.
+    total_ps = 0
     for line in plane.lines:
-        if "XLA Ops" not in line.name:
-            continue
         for event in line.events:
             meta = plane.event_metadata[event.metadata_id]
-            per_op[meta.name] += event.duration_ps
-print("top 30 ops by device self time:")
+            name = meta.name
+            if name.startswith("jit_"):
+                total_ps += event.duration_ps
+                continue
+            if name.isdigit() or name.startswith("%while"):
+                continue
+            per_op[name] += event.duration_ps
+print(f"device total: {total_ps/1e9/steps:.4f} ms/step")
+print("top 30 ops by device time:")
+shown = 0
 for name, ps in per_op.most_common(30):
-    print(f"  {ps/1e12/steps*1e3:8.4f} ms/step  {name[:110]}")
+    print(f"  {ps/1e9/steps:8.4f} ms/step  {name[:110]}")
+    shown += ps
+print(f"  (top-30 sum {shown/1e9/steps:.4f} ms/step)")

@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 # element-ops each mix executes per element per iteration (the unit the
 # roofline counts: one VPU lane-op, transcendentals counted as one)
-OPS_PER_ITER = {"fma": 2, "exp": 2, "select": 4}
+OPS_PER_ITER = {"fma": 3, "exp": 2, "select": 4}
 _UNROLL = 8
 
 
@@ -38,7 +38,10 @@ def _chain_kernel(x_ref, o_ref, *, iters: int, mix: str):
     x = x_ref[...]
 
     def body_fma(x):
-        return x * 1.0000001 + 1e-7
+        # abs breaks the affine composition: a pure x*a+b chain is a
+        # single affine map the compiler may collapse (the first capture's
+        # K_LO point returned in 14 us — folded), while |x*a - b| is not
+        return jnp.abs(x * 1.0000001 - 1e-7)
 
     def body_exp(x):
         # keep the operand bounded: x stays ~= 1.0 forever
@@ -78,7 +81,7 @@ def reference_chain(x: jax.Array, *, iters: int, mix: str = "fma") -> jax.Array:
     x = np.asarray(x, np.float32)
     for _ in range(iters):
         if mix == "fma":
-            x = x * np.float32(1.0000001) + np.float32(1e-7)
+            x = np.abs(x * np.float32(1.0000001) - np.float32(1e-7))
         elif mix == "exp":
             x = np.exp(x * np.float32(1e-8), dtype=np.float32)
         else:
