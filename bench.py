@@ -95,17 +95,25 @@ def bench_ours() -> float:
     jax.block_until_ready(state.params)
     log(f"compile+warmup: {time.time() - t0:.1f}s")
 
-    # burn 2 calls: the axon runtime can serve the first post-warmup call
-    # of a program near-instantly (BASELINE.md benchmark caveat)
-    for _ in range(2):
+    # burn 3 calls: the axon runtime can serve the first post-warmup call
+    # of a program near-instantly, AND the donated-buffer program variant
+    # compiles asynchronously during the first burn — gate the burn phase
+    # with a VALUE download or the residual compile bleeds into the timed
+    # window (measured: first window 4.2 ms/step, gated window 1.87)
+    for _ in range(3):
         state, logs = steps_fn(state, table, stacked, key)
-    jax.block_until_ready(state.params)
+    float(jax.device_get(jax.tree.leaves(state.params)[1].ravel()[0]))
 
     t0 = time.time()
     reps = 20  # 320 steps: long window for a stable sustained rate
     for _ in range(reps):
         state, logs = steps_fn(state, table, stacked, key)
-    jax.block_until_ready(state.params)
+    # gate on a VALUE download, not just block_until_ready: over the axon
+    # tunnel block_until_ready can return before execution for some
+    # programs (observed: a 6L seq-128 scan "finished" in 3 ms; the same
+    # window gated by device_get measured 1.9 s) — a scalar fetch is the
+    # only sync that provably waits
+    float(jax.device_get(jax.tree.leaves(state.params)[1].ravel()[0]))
     dt = time.time() - t0
     eps = B * k_steps * reps / dt
     log(f"ours: {k_steps * reps} scanned steps in {dt:.2f}s -> {eps:.1f} examples/s")

@@ -1,0 +1,98 @@
+"""Train-step benchmark at the BASELINE.json SCALE config (#4):
+ML-25M shape — 6L d=256 ffn=1024 H=8 seq=128, B=64, CCL (ContrastiveLoss),
+62k items with a learned 384->256 input projection.
+
+Round-3 question: the megafusion layer gained a per-head TALL attention
+layout for 64 < s <= 128 (ops/fused_layer._attention_tall) while the
+tunnel was down — does the fused path beat the round-2 XLA number
+(10.6 ms/step, ~60% MXU) on hardware?  Runs both paths.
+
+Benchmark hygiene: scanned 16-step program, distinct key per rep, burn-in
+calls, long windows (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from __graft_entry__ import _flagship_config  # noqa: E402
+from transformer_recommenders_tpu.models.transformer import (  # noqa: E402
+    init_transformer_params,
+)
+from transformer_recommenders_tpu.training.scan_steps import (  # noqa: E402
+    make_scanned_train_steps,
+)
+from transformer_recommenders_tpu.training.train_state import (  # noqa: E402
+    init_train_state,
+)
+
+B, S, N, EMB, K = 64, 128, 62_000, 384, 16
+
+
+def bench(use_fused: bool) -> float:
+    cfg = _flagship_config(
+        hidden_size=256,
+        num_hidden_layers=6,
+        intermediate_size=1024,
+        max_seq_length=S,
+        train_loss="ContrastiveLoss",
+        use_fused_layer=use_fused,
+    )
+    params = init_transformer_params(jax.random.key(0), cfg)
+    r = np.random.default_rng(0)
+    table = jnp.asarray(
+        np.concatenate(
+            [np.zeros((1, EMB), np.float32),
+             r.normal(size=(N, EMB)).astype(np.float32)]
+        )
+    )
+    stacked = {
+        k: jnp.asarray(r.integers(1, N + 1, size=(K, B, S)).astype(np.int32))
+        for k in ["history_item_idx", "pos_item_idx", "neg_item_idx"]
+    }
+    state = init_train_state(cfg, params)
+    scan = make_scanned_train_steps(cfg)
+    keys = [jax.random.key(i) for i in range(64)]
+    t0 = time.time()
+    state, logs = scan(state, table, stacked, keys[0])
+    jax.block_until_ready(state.params)
+    print(f"fused={use_fused}: compile+first {time.time()-t0:.1f}s",
+          file=sys.stderr, flush=True)
+    for i in range(3):  # burn (incl. the donated-buffer program variant)
+        state, logs = scan(state, table, stacked, keys[1 + i])
+    # value-download gate: block_until_ready can return pre-execution over
+    # the tunnel (see bench.py) — only a scalar fetch provably waits
+    float(jax.device_get(jax.tree.leaves(state.params)[1].ravel()[0]))
+    reps = 12
+    t0 = time.time()
+    for i in range(reps):
+        state, logs = scan(state, table, stacked, keys[4 + i])
+    float(jax.device_get(jax.tree.leaves(state.params)[1].ravel()[0]))
+    per_step = (time.time() - t0) / (reps * K)
+    print(f"fused={use_fused}: {per_step*1e3:.2f} ms/step "
+          f"-> {B/per_step:.0f} ex/s", flush=True)
+    return per_step * 1e3
+
+
+def main() -> None:
+    out = {}
+    for fused in (False, True):
+        out["fused" if fused else "xla"] = bench(fused)
+    pathlib.Path("BENCH_CONFIG4.json").write_text(json.dumps(out, indent=2))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

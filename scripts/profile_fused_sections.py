@@ -221,11 +221,9 @@ def _stage_bwd_kernel(x_ref, mask_ref, seed_ref, g_ref, *refs, stage,
                          preferred_element_type=jnp.float32)
             d_dropped = jnp.dot(gw, v.T, preferred_element_type=jnp.float32)
             if attn_rate > 0.0:
-                keep1 = FL._keep(
-                    seeds[0], FL._probs_idx(base_elem + b, num_heads, s),
-                    attn_rate,
+                d_probs = jnp.where(
+                    dropped != 0.0, d_dropped / (1.0 - attn_rate), 0.0
                 )
-                d_probs = jnp.where(keep1, d_dropped / (1.0 - attn_rate), 0.0)
             else:
                 d_probs = d_dropped
             d_scores = probs * (

@@ -171,13 +171,17 @@ def _fused_layer_mode(cfg: ModelConfig, s: int) -> str | None:
     # to the 128-lane boundary (exact — ops/fused_layer.py)
     if cfg.hidden_size % 128 or s % 8:
         return None
-    # s <= 64 runs the wide layout (measured WIN at seq 32: 3.10 -> 2.30
-    # ms/step flagship); 64 < s <= 128 runs the per-head tall layout
-    # (ops/fused_layer._attention_tall — the wide layout's H x redundant
-    # score MACs LOSE there: 10.24 vs 9.11 ms config-#4 encoder fwd+bwd).
-    # Above 128 the per-head probs residency blows the VMEM block budget;
-    # the XLA split path takes over.
-    if s > 128:
+    # s <= 64 runs the wide layout, lane-packed g=128/S elements per probs
+    # tile (measured WINS: 3.10 -> 2.30 ms/step flagship round 2, 2.27 ->
+    # 1.89 with lane packing round 3).  The per-head TALL layout for
+    # 64 < s <= 128 (ops/fused_layer._attention_tall) was measured at the
+    # config-#4 shape on v5e (scripts/bench_config4.py, round 3):
+    # 6.90 ms/step fused vs 6.51 XLA — the tall path is VMEM-capped at
+    # block batch 2 (bt=4 needs 23.6 MB scoped vmem) and the per-program
+    # overhead of 32 tiny programs loses to XLA's fused attention, which
+    # keeps the MXU contraction 128-wide across heads.  The kernel remains
+    # ops-level (tested, within 6%) but the auto gate hands s > 64 to XLA.
+    if s > 64:
         return None
     try:
         return "compiled" if jax.default_backend() != "cpu" else None

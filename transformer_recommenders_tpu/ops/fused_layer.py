@@ -342,8 +342,12 @@ def _attention_wide_packed_bwd(gctx, res, hmask_f, elem_base, seed, *,
         gwp, vp, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )                                            # (H*S, g*S)
     if rate > 0.0:
-        keep = _keep(seed, _packed_probs_idx(elem_base, g, num_heads, s), rate)
-        d_probs = jnp.where(keep, d_dropped / (1.0 - rate), 0.0)
+        # the keep mask is recoverable from the saved `dropped` tile:
+        # dropped != 0 differs from the hash's keep only where probs == 0,
+        # and those lanes are multiplied by probs in every d_scores term —
+        # d_scores is BIT-IDENTICAL while the ~10-op fmix32 re-hash of the
+        # (H*S, 128) tile disappears (profile-driven, round 3)
+        d_probs = jnp.where(dropped != 0.0, d_dropped / (1.0 - rate), 0.0)
     else:
         d_probs = d_dropped
     blockones = (
@@ -447,8 +451,9 @@ def _attention_tall_bwd(gctx, probs_l, dropped_l, q, k, v, elem, seed, *,
         )
         d_dropped = jnp.dot(gc, v[:, cs].T, preferred_element_type=jnp.float32)
         if rate > 0.0:
-            keep = _keep(seed, _head_probs_idx(elem, h, num_heads, s), rate)
-            d_probs = jnp.where(keep, d_dropped / (1.0 - rate), 0.0)
+            # keep recovered from the saved dropped tile — bit-identical
+            # d_scores, no fmix32 re-hash (see _attention_wide_packed_bwd)
+            d_probs = jnp.where(dropped != 0.0, d_dropped / (1.0 - rate), 0.0)
         else:
             d_probs = d_dropped
         d_scores = probs * (
@@ -746,10 +751,11 @@ def _bwd_kernel(x_ref, mask_ref, seed_ref, g_ref, *refs,
         dv = jnp.dot(dropped.T.astype(dtype), gw, preferred_element_type=jnp.float32)
         d_dropped = jnp.dot(gw, v.T, preferred_element_type=jnp.float32)
         if attn_rate > 0.0:
-            keep1 = _keep(
-                seeds[0], _probs_idx(base_elem + b, num_heads, s), attn_rate
+            # keep recovered from the saved dropped tile — bit-identical
+            # d_scores, no fmix32 re-hash (see _attention_wide_packed_bwd)
+            d_probs = jnp.where(
+                dropped != 0.0, d_dropped / (1.0 - attn_rate), 0.0
             )
-            d_probs = jnp.where(keep1, d_dropped / (1.0 - attn_rate), 0.0)
         else:
             d_probs = d_dropped
         d_scores = probs * (
