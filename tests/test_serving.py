@@ -132,7 +132,7 @@ def test_asgi_bad_json():
     import asyncio
 
     async def raw():
-        status, payload = await app._dispatch("echo", b"not-json{")
+        status, payload, _timing = await app._dispatch("echo", b"not-json{")
         return status
 
     assert asyncio.run(raw()) == 400
@@ -276,3 +276,61 @@ def test_metrics_endpoint(service):
     assert 'xrt_requests_total{route="model_name",status="200"} 1' in text
     assert 'route="item_id",status="404"' in text
     assert "xrt_request_seconds_total" in text
+
+
+# -- request-level tracing (round 3; ROADMAP serving item) --------------------
+
+
+def test_request_tracing_server_timing_header(service, client):
+    """A recommend request carries per-stage spans on the standard
+    Server-Timing header: process (id->embeds), batch_wait (micro-batcher
+    queue incl. the encoder run), encode (the batch's shared forward),
+    batch_size (count, reported through the ms field), search (MIPS)."""
+    item_id = service.item_index.index.store.records["item_id"].iloc[0]
+    resp = client.post(
+        "recommend_with_query", {"query": {"item_ids": [str(item_id)]}}
+    )
+    assert resp.ok
+    timing = resp.headers.get("server-timing", "")
+    spans = {part.split(";")[0].strip() for part in timing.split(",") if part}
+    assert {"process", "batch_wait", "encode", "batch_size", "search"} <= spans
+    durs = {
+        part.split(";")[0].strip(): float(part.split("dur=")[1])
+        for part in timing.split(",")
+    }
+    assert durs["batch_wait"] >= durs["encode"] >= 0.0
+    # batch_size rides the ms field: stored as n/1e3 s -> renders as n
+    assert durs["batch_size"] == pytest.approx(1.0)  # one request -> batch 1
+
+
+def test_request_tracing_span_metrics(service):
+    app = service.to_asgi()
+    c = TestClient(app)
+    item_id = service.item_index.index.store.records["item_id"].iloc[0]
+    for _ in range(2):
+        assert c.post(
+            "recommend_with_query", {"query": {"item_ids": [str(item_id)]}}
+        ).ok
+    text = c.post("metrics").json()
+    assert 'xrt_span_seconds_total{span="search"}' in text
+    assert 'xrt_span_seconds_total{span="encode"}' in text
+    # spans aggregate across requests: search total >= one request's search
+    line = next(
+        ln for ln in text.splitlines()
+        if ln.startswith('xrt_span_seconds_total{span="search"}')
+    )
+    assert float(line.split()[-1]) > 0.0
+
+
+def test_untraced_code_paths_have_no_span_overhead(service):
+    """Calling the service OUTSIDE a request context records nothing and
+    returns normally (trace_span is a no-op without an active trace)."""
+    import asyncio
+
+    from transformer_recommenders_tpu.serving.asgi import CURRENT_TRACE
+
+    assert CURRENT_TRACE.get() is None
+    item_id = service.item_index.index.store.records["item_id"].iloc[0]
+    recs = asyncio.run(service.recommend_with_item_id(str(item_id)))
+    assert len(recs) == 20
+    assert CURRENT_TRACE.get() is None

@@ -17,9 +17,12 @@ the minimal equivalent with zero dependencies:
 from __future__ import annotations
 
 import asyncio
+import contextlib
+import contextvars
 import json
 import os
 import socket
+import time
 from typing import Any, Awaitable, Callable
 
 Handler = Callable[[dict], Awaitable[Any]]
@@ -27,6 +30,49 @@ Handler = Callable[[dict], Awaitable[Any]]
 
 class NotFound(Exception):
     """404 error for missing resources (parity: bentoml.exceptions.NotFound)."""
+
+
+# -- request-level tracing (ROADMAP serving item, round 3) --------------------
+#
+# Each dispatched request gets a Trace in a contextvar; service code wraps
+# its stages in ``trace_span`` (a no-op when no request is active, so the
+# same code paths run un-traced in scripts/tests).  Spans surface two ways:
+# per-request on the standard ``Server-Timing`` response header
+# (``span;dur=<ms>``), and aggregated at /metrics as
+# ``xrt_span_seconds_total{span=...}``.
+
+
+class Trace:
+    __slots__ = ("spans",)
+
+    def __init__(self) -> None:
+        self.spans: list[tuple[str, float]] = []
+
+    def add(self, name: str, seconds: float) -> None:
+        self.spans.append((name, seconds))
+
+    def header(self) -> str:
+        return ", ".join(f"{n};dur={s * 1e3:.2f}" for n, s in self.spans)
+
+
+CURRENT_TRACE: contextvars.ContextVar[Trace | None] = contextvars.ContextVar(
+    "xrt_trace", default=None
+)
+
+
+@contextlib.contextmanager
+def trace_span(name: str):
+    """Record wall time of the enclosed block (awaits included) on the
+    active request trace; free when no trace is active."""
+    tr = CURRENT_TRACE.get()
+    if tr is None:
+        yield
+        return
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        tr.add(name, time.perf_counter() - t0)
 
 
 class JSONApp:
@@ -37,6 +83,8 @@ class JSONApp:
         # SURVEY.md §5.5)
         self.request_counts: dict[tuple[str, int], int] = {}
         self.request_seconds: dict[str, float] = {}
+        # aggregated per-span totals from request-level tracing
+        self.span_seconds: dict[str, float] = {}
 
     def route(self, name: str) -> Callable[[Handler], Handler]:
         def register(fn: Handler) -> Handler:
@@ -58,25 +106,33 @@ class JSONApp:
             if not event.get("more_body"):
                 break
 
-        status, payload = await self._dispatch(path, body)
+        status, payload, timing = await self._dispatch(path, body)
         data = json.dumps(payload).encode()
+        headers = [
+            (b"content-type", b"application/json"),
+            (b"content-length", str(len(data)).encode()),
+        ]
+        if timing:
+            headers.append((b"server-timing", timing.encode()))
         await send(
             {
                 "type": "http.response.start",
                 "status": status,
-                "headers": [
-                    (b"content-type", b"application/json"),
-                    (b"content-length", str(len(data)).encode()),
-                ],
+                "headers": headers,
             }
         )
         await send({"type": "http.response.body", "body": data})
 
-    async def _dispatch(self, path: str, body: bytes) -> tuple[int, Any]:
-        import time
-
+    async def _dispatch(self, path: str, body: bytes) -> tuple[int, Any, str]:
         t0 = time.perf_counter()
-        status, payload = await self._dispatch_inner(path, body)
+        trace = Trace()
+        token = CURRENT_TRACE.set(trace)
+        try:
+            status, payload = await self._dispatch_inner(path, body)
+        finally:
+            CURRENT_TRACE.reset(token)
+        for name, secs in trace.spans:
+            self.span_seconds[name] = self.span_seconds.get(name, 0.0) + secs
         # counters key on REGISTERED routes only: arbitrary client paths
         # all bucket under "unknown" (an unbounded label set would grow
         # memory forever on a 0.0.0.0-bound server and lets clients inject
@@ -88,7 +144,7 @@ class JSONApp:
         self.request_seconds[label] = self.request_seconds.get(label, 0.0) + (
             time.perf_counter() - t0
         )
-        return status, payload
+        return status, payload, trace.header()
 
     @staticmethod
     def _escape_label(value: str) -> str:
@@ -109,6 +165,10 @@ class JSONApp:
         for path, secs in sorted(self.request_seconds.items()):
             route = self._escape_label(path)
             lines.append(f'xrt_request_seconds_total{{route="{route}"}} {secs:.6f}')
+        lines.append("# TYPE xrt_span_seconds_total counter")
+        for name, secs in sorted(self.span_seconds.items()):
+            span = self._escape_label(name)
+            lines.append(f'xrt_span_seconds_total{{span="{span}"}} {secs:.6f}')
         return "\n".join(lines) + "\n"
 
     async def _dispatch_inner(self, path: str, body: bytes) -> tuple[int, Any]:
@@ -135,9 +195,11 @@ class JSONApp:
 
 
 class Response:
-    def __init__(self, status_code: int, payload: Any) -> None:
+    def __init__(self, status_code: int, payload: Any,
+                 headers: dict[str, str] | None = None) -> None:
         self.status_code = status_code
         self._payload = payload
+        self.headers = headers or {}
 
     def json(self) -> Any:
         return self._payload
@@ -175,11 +237,14 @@ class TestClient:
             messages.append(message)
 
         await self.app(scope, receive, send)
-        status = next(m["status"] for m in messages if m["type"] == "http.response.start")
+        start = next(m for m in messages if m["type"] == "http.response.start")
         data = b"".join(
             m.get("body", b"") for m in messages if m["type"] == "http.response.body"
         )
-        return Response(status, json.loads(data) if data else None)
+        headers = {k.decode(): v.decode() for k, v in start.get("headers", [])}
+        return Response(
+            start["status"], json.loads(data) if data else None, headers
+        )
 
 
 def serve(
@@ -237,7 +302,7 @@ def serve(
         def _respond(self) -> None:
             length = int(self.headers.get("content-length", 0))
             body = self.rfile.read(length)
-            status, payload = asyncio.run(
+            status, payload, timing = asyncio.run(
                 app._dispatch(self.path.strip("/"), body)
             )
             if isinstance(payload, str) and self.path.strip("/") == "metrics":
@@ -249,6 +314,8 @@ def serve(
             self.send_response(status)
             self.send_header("content-type", ctype.decode())
             self.send_header("content-length", str(len(data)))
+            if timing:
+                self.send_header("server-timing", timing)
             self.end_headers()
             self.wfile.write(data)
 

@@ -38,7 +38,12 @@ from transformer_recommenders_tpu.params import (
     TRANSFORMER_PATH,
     USERS_TABLE_NAME,
 )
-from transformer_recommenders_tpu.serving.asgi import JSONApp, NotFound
+from transformer_recommenders_tpu.serving.asgi import (
+    CURRENT_TRACE,
+    JSONApp,
+    NotFound,
+    trace_span,
+)
 
 
 # -- IO schemas (parity: xfmr_rec/service.py:30-92) --------------------------
@@ -132,7 +137,16 @@ class MicroBatcher:
                 )
         if flush_now:
             self._flush()
-        return await fut
+        # request tracing: batch_wait covers coalescing window + encode +
+        # cross-loop resolution; the batch's shared fn time and size ride
+        # back with the result so each waiter can report the encode span
+        with trace_span("batch_wait"):
+            res, encode_s, batch_n = await fut
+        tr = CURRENT_TRACE.get()
+        if tr is not None:
+            tr.add("encode", encode_s)
+            tr.add("batch_size", batch_n / 1e3)  # Server-Timing carries ms
+        return res
 
     def _flush(self, generation: int | None = None) -> None:
         with self._lock:
@@ -144,11 +158,15 @@ class MicroBatcher:
         if not batch:
             return
         items = [item for item, _, _ in batch]
+        import time
+
+        t0 = time.perf_counter()
         try:
             results = self._fn(items)
             error = None
         except Exception as exc:  # noqa: BLE001 — propagate to every waiter
             results, error = [None] * len(batch), exc
+        encode_s = time.perf_counter() - t0
 
         def resolve(fut, res) -> None:
             if fut.done():
@@ -156,7 +174,7 @@ class MicroBatcher:
             if error is not None:
                 fut.set_exception(error)
             else:
-                fut.set_result(res)
+                fut.set_result((res, encode_s, len(batch)))
 
         for (_, fut, floop), res in zip(batch, results):
             try:
@@ -308,7 +326,8 @@ class Service:
     # -- async APIs ----------------------------------------------------------
 
     async def recommend_with_query(self, query: Query) -> list[ItemCandidate]:
-        query = await self.process_query(query)
+        with trace_span("process"):
+            query = await self.process_query(query)
         query = await self.embed_query(query)
         query.exclude_item_ids = [
             *(query.exclude_item_ids or []),
@@ -316,7 +335,8 @@ class Service:
         ]
         if query.embedding is None:
             return []
-        return self.item_index.search(query)
+        with trace_span("search"):
+            return self.item_index.search(query)
 
     async def process_query(self, query: Query) -> Query:
         """item_ids -> stored frozen embeddings, truncated to the last
