@@ -352,3 +352,56 @@ def test_multi_group_lane_packing_matches_xla():
     ):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                    rtol=2e-4, atol=2e-5, err_msg=str(kp))
+
+
+@pytest.mark.parametrize(
+    ("s", "b", "h"),
+    [
+        (16, 8, 4),   # ideal g=8, block likely smaller -> g_eff covers <8
+        (64, 4, 8),   # g=2
+        (16, 2, 2),   # bt < ideal g: g_eff = bt
+    ],
+)
+def test_packed_group_sizes_grads_match_xla(s, b, h):
+    """Lane-packing gradient sweep across group sizes (g = 128/S clamped
+    to the block batch), dropout ON — exercises the packed backward's
+    block-diagonal contractions and the dropped!=0 keep recovery at
+    g in {2, 4, 8} and the bt < g clamp."""
+    d, f = 64, 96
+    cfg = ModelConfig(
+        hidden_size=d, num_hidden_layers=1, num_attention_heads=h,
+        intermediate_size=f, max_seq_length=s, compute_dtype="float32",
+        hidden_dropout=0.25, attention_dropout=0.25,
+    )
+    params = T.init_transformer_params(jax.random.key(3), cfg)
+    layer = jax.tree.map(lambda a: a[0], params["layers"])
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+    mask = np.ones((b, s), bool)
+    mask[0, s // 2:] = False
+    mask = jnp.asarray(mask)
+    keys = list(jax.random.split(jax.random.key(7), 3))
+    seeds = T._dropout_site_seeds(jnp.stack(keys))
+    probe = jnp.asarray(rng.normal(size=(b, s, d)).astype(np.float32))
+
+    def fused_fn(x_, l_):
+        return fused_layer(
+            x_, l_, mask, num_heads=h, causal=True,
+            attn_dropout=0.25, hidden_dropout=0.25, dropout_seeds=seeds,
+            ffn_dim=f, layer_norm_eps=cfg.layer_norm_eps, interpret=True,
+        )
+
+    gx_ref, gl_ref = jax.grad(
+        _probe_loss(lambda x_, l_: _xla_layer(cfg, x_, l_, mask, keys=keys),
+                    probe)
+    )((x, layer))
+    gx, gl = jax.grad(_probe_loss(fused_fn, probe))((x, layer))
+    assert float(jnp.linalg.norm(gx_ref)) > 1e-2
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=2e-4, atol=2e-5)
+    for (kp, a), (_, b_) in zip(
+        jax.tree_util.tree_flatten_with_path(gl_ref)[0],
+        jax.tree_util.tree_flatten_with_path(gl)[0],
+    ):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=2e-4, atol=2e-5, err_msg=str(kp))
