@@ -56,6 +56,9 @@ def bench(cfg: ModelConfig, shape, mask, *, dropout: bool, reps=30) -> float:
     return float(np.median(times)) * 1e3
 
 
+_orig_gate = T._fused_layer_mode
+
+
 def main() -> None:
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     s, d, h, layers = 128, 256, 8, 6
@@ -71,6 +74,15 @@ def main() -> None:
     results = {}
     for dropout in (False, True):
         for fused in (False, True):
+            if fused:
+                # force the TALL fused path past the auto gate (which hands
+                # s > 64 to XLA, the measured winner) so the comparison
+                # stays reproducible
+                T._fused_layer_mode = lambda cfg, s: (
+                    "compiled" if jax.default_backend() != "cpu" else None
+                )
+            else:
+                T._fused_layer_mode = _orig_gate
             cfg = ModelConfig(
                 **base,
                 use_fused_layer=fused,

@@ -42,6 +42,15 @@ B, S, N, EMB, K = 64, 128, 62_000, 384, 16
 
 
 def bench(use_fused: bool) -> float:
+    if use_fused:
+        # the auto gate hands s > 64 to XLA (the measured winner) — force
+        # the per-head TALL fused path so this script keeps being able to
+        # reproduce the 6.90-vs-6.51 ms comparison it documents
+        from transformer_recommenders_tpu.models import transformer as T
+
+        T._fused_layer_mode = lambda cfg, s: (
+            "compiled" if jax.default_backend() != "cpu" else None
+        )
     cfg = _flagship_config(
         hidden_size=256,
         num_hidden_layers=6,

@@ -184,3 +184,15 @@ def test_table_pool_rows_clamps_history_dim():
     assert table_pool_rows(config, batch) == 8 * 4  # not 8 * 16
     batch = {"history_item_idx": np.zeros((8, 3), np.int32)}
     assert table_pool_rows(config, batch) == 8 * 3
+
+
+def test_serve_workers_surfaces_worker_crashes(tmp_path):
+    """A worker pool whose processes die (e.g. unreadable artifact) must
+    raise, not return cleanly with the deployment silently down
+    (round-3 review finding)."""
+    import pytest
+
+    from transformer_recommenders_tpu.serving.asgi import serve_workers
+
+    with pytest.raises(RuntimeError, match="worker exited"):
+        serve_workers(str(tmp_path / "no-such-artifact"), port=3911, workers=2)

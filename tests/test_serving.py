@@ -314,6 +314,10 @@ def test_request_tracing_span_metrics(service):
     text = c.post("metrics").json()
     assert 'xrt_span_seconds_total{span="search"}' in text
     assert 'xrt_span_seconds_total{span="encode"}' in text
+    # batch_size is a COUNT: it aggregates under span_metric, never into
+    # the seconds counter (round-3 review finding)
+    assert 'xrt_span_seconds_total{span="batch_size"}' not in text
+    assert 'xrt_span_metric_total{metric="batch_size"} 2.0' in text
     # spans aggregate across requests: search total >= one request's search
     line = next(
         ln for ln in text.splitlines()

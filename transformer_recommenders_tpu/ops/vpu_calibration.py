@@ -10,7 +10,8 @@ load/store cost — the slope IS the per-element-op cost.
 
 Op mixes (chosen to bracket what the fused layer/loss kernels execute):
 
-- ``fma``    — ``x*a + b``: 2 element-ops/iter, the cheapest VPU work.
+- ``fma``    — ``|x*a - b|``: 3 element-ops/iter (the abs defeats
+  whole-chain affine folding, observed at short chains).
 - ``exp``    — ``exp(x*s)``: 1 transcendental + 1 mul/iter; softmax cost.
 - ``select`` — compare + select + mul + add: 4 element-ops/iter; the
   masking/dropout pattern.

@@ -43,16 +43,25 @@ class NotFound(Exception):
 
 
 class Trace:
-    __slots__ = ("spans",)
+    __slots__ = ("spans", "metrics")
 
     def __init__(self) -> None:
         self.spans: list[tuple[str, float]] = []
+        # count-valued annotations (e.g. batch_size) — rendered on the
+        # header like spans (Server-Timing allows arbitrary metrics) but
+        # aggregated separately so they never pollute the seconds counter
+        self.metrics: list[tuple[str, float]] = []
 
     def add(self, name: str, seconds: float) -> None:
         self.spans.append((name, seconds))
 
+    def add_metric(self, name: str, value: float) -> None:
+        self.metrics.append((name, value))
+
     def header(self) -> str:
-        return ", ".join(f"{n};dur={s * 1e3:.2f}" for n, s in self.spans)
+        parts = [f"{n};dur={s * 1e3:.2f}" for n, s in self.spans]
+        parts += [f"{n};dur={v:.2f}" for n, v in self.metrics]
+        return ", ".join(parts)
 
 
 CURRENT_TRACE: contextvars.ContextVar[Trace | None] = contextvars.ContextVar(
@@ -83,8 +92,17 @@ class JSONApp:
         # SURVEY.md §5.5)
         self.request_counts: dict[tuple[str, int], int] = {}
         self.request_seconds: dict[str, float] = {}
-        # aggregated per-span totals from request-level tracing
+        # aggregated per-span totals from request-level tracing; non-time
+        # span metrics (e.g. batch_size counts) aggregate separately so the
+        # seconds counter stays dimensionally honest
         self.span_seconds: dict[str, float] = {}
+        self.span_metrics: dict[str, float] = {}
+        # serve() runs requests on ThreadingTCPServer threads — the
+        # read-modify-write counter updates need a lock or concurrent
+        # requests lose increments
+        import threading
+
+        self._counter_lock = threading.Lock()
 
     def route(self, name: str) -> Callable[[Handler], Handler]:
         def register(fn: Handler) -> Handler:
@@ -131,19 +149,22 @@ class JSONApp:
             status, payload = await self._dispatch_inner(path, body)
         finally:
             CURRENT_TRACE.reset(token)
-        for name, secs in trace.spans:
-            self.span_seconds[name] = self.span_seconds.get(name, 0.0) + secs
         # counters key on REGISTERED routes only: arbitrary client paths
         # all bucket under "unknown" (an unbounded label set would grow
         # memory forever on a 0.0.0.0-bound server and lets clients inject
         # exposition-format metacharacters)
         label = path if (path in self.routes or path == "metrics") else "unknown"
-        self.request_counts[(label, status)] = (
-            self.request_counts.get((label, status), 0) + 1
-        )
-        self.request_seconds[label] = self.request_seconds.get(label, 0.0) + (
-            time.perf_counter() - t0
-        )
+        with self._counter_lock:
+            for name, secs in trace.spans:
+                self.span_seconds[name] = self.span_seconds.get(name, 0.0) + secs
+            for name, val in trace.metrics:
+                self.span_metrics[name] = self.span_metrics.get(name, 0.0) + val
+            self.request_counts[(label, status)] = (
+                self.request_counts.get((label, status), 0) + 1
+            )
+            self.request_seconds[label] = self.request_seconds.get(
+                label, 0.0
+            ) + (time.perf_counter() - t0)
         return status, payload, trace.header()
 
     @staticmethod
@@ -169,6 +190,10 @@ class JSONApp:
         for name, secs in sorted(self.span_seconds.items()):
             span = self._escape_label(name)
             lines.append(f'xrt_span_seconds_total{{span="{span}"}} {secs:.6f}')
+        lines.append("# TYPE xrt_span_metric_total counter")
+        for name, val in sorted(self.span_metrics.items()):
+            span = self._escape_label(name)
+            lines.append(f'xrt_span_metric_total{{metric="{span}"}} {val:.6f}')
         return "\n".join(lines) + "\n"
 
     async def _dispatch_inner(self, path: str, body: bytes) -> tuple[int, Any]:
@@ -379,9 +404,21 @@ def serve_workers(
         )
         for _ in range(workers)
     ]
+    import time as _time
+
     try:
-        for p in procs:
-            p.wait()
+        # monitor the pool: a worker dying with a nonzero code (artifact
+        # unreadable, OOM, port error) must surface as an error, not a
+        # silently degraded — or with 0 workers, silently DOWN — pool
+        while True:
+            codes = [p.poll() for p in procs]
+            bad = [c for c in codes if c not in (None, 0, -signal.SIGTERM)]
+            if bad:
+                msg = f"serving worker exited with code {bad[0]}"
+                raise RuntimeError(msg)
+            if all(c is not None for c in codes):
+                return  # every worker exited cleanly
+            _time.sleep(0.5)
     finally:
         for p in procs:
             if p.poll() is None:

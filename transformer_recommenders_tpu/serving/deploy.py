@@ -143,7 +143,12 @@ def cli_main() -> None:
         from transformer_recommenders_tpu.serving.asgi import serve, serve_workers
 
         if args.workers > 1:
-            # spawned CPU workers (fork-after-jax-init deadlocks; asgi.py)
+            # spawned CPU workers (fork-after-jax-init deadlocks; asgi.py);
+            # drop the parent's fully loaded Service first — it would
+            # otherwise pin an extra model+index copy in RAM for the whole
+            # serving lifetime on exactly the hosts multiplying memory by
+            # workers=cpu_count
+            del service
             serve_workers(
                 args.artifact_dir, port=args.port, workers=args.workers
             )

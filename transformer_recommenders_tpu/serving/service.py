@@ -145,7 +145,7 @@ class MicroBatcher:
         tr = CURRENT_TRACE.get()
         if tr is not None:
             tr.add("encode", encode_s)
-            tr.add("batch_size", batch_n / 1e3)  # Server-Timing carries ms
+            tr.add_metric("batch_size", batch_n)
         return res
 
     def _flush(self, generation: int | None = None) -> None:
