@@ -151,3 +151,42 @@ def test_native_throughput_exceeds_numpy():
     t_native = run("native")
     t_numpy = run("numpy")
     assert t_native < t_numpy, (t_native, t_numpy)
+
+
+def test_thread_count_invariance():
+    """The multi-threaded sampler (round 3) is bit-identical at every
+    thread count: per-row RNG streams are keyed on (seed, epoch, row, b)
+    with no carried state, and rows write disjoint output slices."""
+    from transformer_recommenders_tpu.native import load_native_sampler
+
+    ns = load_native_sampler()
+    if ns is None:
+        import pytest
+
+        pytest.skip("no C++ toolchain")
+    rng = np.random.default_rng(5)
+    item_ids = [str(i) for i in range(1, 301)]
+    histories = [
+        (rng.integers(1, 301, int(rng.integers(5, 60))).astype(str),
+         rng.random(1) < 2.0)  # placeholder labels fixed below
+        for _ in range(200)
+    ]
+    histories = [
+        (ids, np.ones(len(ids), bool)) for ids, _ in histories
+    ]
+    sd = SeqData(
+        SeqDataConfig(max_seq_length=16),
+        item_ids=item_ids, histories=histories, seed=3, backend="native",
+    )
+    order = ns.shuffled_order(len(sd.rows), 3, 0)[:64].astype(np.int64)
+    outs = [
+        ns.sample_batch(
+            sd._values, sd._labels, sd._offsets, order,
+            max_seq=16, pos_lookahead=4, num_items=300, seed=3, epoch=0,
+            num_threads=nt,
+        )
+        for nt in (1, 2, 3, 8, 0)
+    ]
+    for out in outs[1:]:
+        for a, b in zip(outs[0], out):
+            np.testing.assert_array_equal(a, b)

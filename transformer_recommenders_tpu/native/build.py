@@ -30,7 +30,7 @@ class NativeSampler:
             i32p, u8p, i64p, ctypes.c_int64,
             i64p, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int64,
             i32p, i32p, i32p,
         ]
         lib.sample_batch.restype = None
@@ -51,7 +51,12 @@ class NativeSampler:
         num_items: int,
         seed: int,
         epoch: int,
+        num_threads: int = 0,
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """num_threads=0 -> hardware concurrency (clamped in C++); the
+        per-row RNG streams are keyed, so any thread count produces
+        bit-identical batches.  The ctypes call releases the GIL, so the
+        producer thread's sampling overlaps device steps."""
         b = len(row_indices)
         hist = np.zeros((b, max_seq), np.int32)
         pos = np.zeros((b, max_seq), np.int32)
@@ -60,7 +65,7 @@ class NativeSampler:
             values, labels, offsets, len(offsets) - 1,
             np.ascontiguousarray(row_indices, np.int64), b,
             max_seq, pos_lookahead, num_items,
-            seed & 0xFFFFFFFFFFFFFFFF, epoch,
+            seed & 0xFFFFFFFFFFFFFFFF, epoch, num_threads,
             hist, pos, neg,
         )
         return hist, pos, neg

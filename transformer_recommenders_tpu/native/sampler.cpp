@@ -22,6 +22,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -66,30 +67,22 @@ void sample_positions(SplitMix64& rng, int64_t n, int64_t k,
   std::sort(out.begin(), out.end());
 }
 
-}  // namespace
-
-extern "C" {
-
-// Sample one batch.
-//   values/labels: concatenated per-row histories; offsets: (num_rows+1)
-//   row_indices: (batch_size) rows to sample
-//   hist/pos/neg: out, (batch_size * max_seq) int32, zero-padded
-void sample_batch(const int32_t* values, const uint8_t* labels,
-                  const int64_t* offsets, int64_t num_rows,
-                  const int64_t* row_indices, int64_t batch_size,
-                  int64_t max_seq, int64_t pos_lookahead, int64_t num_items,
-                  uint64_t seed, uint64_t epoch, int32_t* hist, int32_t* pos,
-                  int32_t* neg) {
-  std::memset(hist, 0, sizeof(int32_t) * static_cast<size_t>(batch_size * max_seq));
-  std::memset(pos, 0, sizeof(int32_t) * static_cast<size_t>(batch_size * max_seq));
-  std::memset(neg, 0, sizeof(int32_t) * static_cast<size_t>(batch_size * max_seq));
-
+// Sample rows [b_lo, b_hi) of one batch — the per-row work is fully
+// independent: the RNG stream is keyed on (seed, epoch, row, b) with no
+// carried state, and each row writes a disjoint output slice, so threads
+// produce BIT-IDENTICAL batches to the serial loop.
+void sample_rows(const int32_t* values, const uint8_t* labels,
+                 const int64_t* offsets, int64_t num_rows,
+                 const int64_t* row_indices, int64_t b_lo, int64_t b_hi,
+                 int64_t max_seq, int64_t pos_lookahead, int64_t num_items,
+                 uint64_t seed, uint64_t epoch, int32_t* hist, int32_t* pos,
+                 int32_t* neg) {
   std::vector<int32_t> positions;
   std::vector<int32_t> pos_positions;
   std::vector<int32_t> sorted_hist;
   std::vector<int32_t> chosen;
 
-  for (int64_t b = 0; b < batch_size; ++b) {
+  for (int64_t b = b_lo; b < b_hi; ++b) {
     int64_t row = row_indices[b];
     if (row < 0 || row >= num_rows) continue;
     const int32_t* h = values + offsets[row];
@@ -181,6 +174,52 @@ void sample_batch(const int32_t* values, const uint8_t* labels,
       for (int64_t i = 0; i < seq_len; ++i) neg_row[i] = chosen[static_cast<size_t>(i)];
     }
   }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Sample one batch (multi-threaded over rows; see sample_rows).
+//   values/labels: concatenated per-row histories; offsets: (num_rows+1)
+//   row_indices: (batch_size) rows to sample
+//   num_threads: 0 -> hardware_concurrency clamped to [1, 16]
+//   hist/pos/neg: out, (batch_size * max_seq) int32, zero-padded
+void sample_batch(const int32_t* values, const uint8_t* labels,
+                  const int64_t* offsets, int64_t num_rows,
+                  const int64_t* row_indices, int64_t batch_size,
+                  int64_t max_seq, int64_t pos_lookahead, int64_t num_items,
+                  uint64_t seed, uint64_t epoch, int64_t num_threads,
+                  int32_t* hist, int32_t* pos, int32_t* neg) {
+  std::memset(hist, 0, sizeof(int32_t) * static_cast<size_t>(batch_size * max_seq));
+  std::memset(pos, 0, sizeof(int32_t) * static_cast<size_t>(batch_size * max_seq));
+  std::memset(neg, 0, sizeof(int32_t) * static_cast<size_t>(batch_size * max_seq));
+
+  int64_t nt = num_threads;
+  if (nt <= 0) {
+    nt = static_cast<int64_t>(std::thread::hardware_concurrency());
+    if (nt < 1) nt = 1;
+    if (nt > 16) nt = 16;
+  }
+  // ~16 rows per thread minimum: below that, spawn cost beats the work
+  if (nt > (batch_size + 15) / 16) nt = (batch_size + 15) / 16;
+  if (nt <= 1) {
+    sample_rows(values, labels, offsets, num_rows, row_indices, 0, batch_size,
+                max_seq, pos_lookahead, num_items, seed, epoch, hist, pos, neg);
+    return;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(static_cast<size_t>(nt));
+  int64_t chunk = (batch_size + nt - 1) / nt;
+  for (int64_t t = 0; t < nt; ++t) {
+    int64_t lo = t * chunk;
+    int64_t hi = std::min(lo + chunk, batch_size);
+    if (lo >= hi) break;
+    threads.emplace_back(sample_rows, values, labels, offsets, num_rows,
+                         row_indices, lo, hi, max_seq, pos_lookahead,
+                         num_items, seed, epoch, hist, pos, neg);
+  }
+  for (auto& th : threads) th.join();
 }
 
 // Deterministic Fisher-Yates permutation of [0, n) keyed on (seed, epoch).
