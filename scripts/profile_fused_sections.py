@@ -58,6 +58,10 @@ SHAPES = {
     "tiny_tall": dict(b=2, s=128, d=32, h=4, f=64),
 }
 
+# kernel runs per dispatch (lax.scan chain); interpret mode is a
+# correctness smoke and keeps the chain short
+INNER_ITERS = 2 if "--interpret" in sys.argv else 50
+
 FWD_STAGES = ["qkv", "attn", "out_ln1", "ffn_gelu", "full"]
 BWD_STAGES = ["recompute", "ffn_bwd", "attn_bwd", "full"]
 
@@ -266,7 +270,7 @@ def _build(shape, stage, direction, interpret):
     bt = FL._pick_block_batch(b, s, d, shape["f"], shape["h"])
     x_spec, mask_spec, seed_spec, const = FL._specs(bt, s, d)
 
-    def fn(x, mask, seeds, flat_params, g=None):
+    def call_once(x, mask, seeds, flat_params, g=None):
         with FL._maybe_interpret(interpret):
             if direction == "fwd":
                 kern = functools.partial(_stage_fwd_kernel, stage=stage, **cfg)
@@ -285,6 +289,19 @@ def _build(shape, stage, direction, interpret):
                 out_specs=x_spec,
                 out_shape=jax.ShapeDtypeStruct((b, s, d), x.dtype),
             )(x, mask, seeds, g, *flat_params)
+
+    # chain INNER_ITERS kernel runs inside ONE dispatch via lax.scan:
+    # over the tunnel, even pipelined host dispatches floor at ~0.5-1 ms
+    # per call, which swamps sub-0.1 ms kernels — a scanned chain makes
+    # the per-iteration cost dispatch-free (round-3 fix; the earlier
+    # per-call windows measured the dispatch floor, not the kernel)
+    def fn(x, mask, seeds, flat_params, g=None):
+        def body(carry, _):
+            out = call_once(carry, mask, seeds, flat_params, g)
+            return out, ()
+
+        y, _ = jax.lax.scan(body, x, None, length=INNER_ITERS)
+        return y
 
     return jax.jit(fn), bt
 
@@ -325,7 +342,7 @@ def main() -> None:
     # feeding output into input (same (B,S,D) shape), blocking once — the
     # ~31 ms synchronous round-trip amortizes to ~1.5 ms and the per-call
     # jitter that buried sub-ms stage deltas cancels in the median
-    calls = 20
+    calls = 4  # dispatches per window; each runs INNER_ITERS scanned kernels
     for direction, stages in (("fwd", FWD_STAGES), ("bwd", BWD_STAGES)):
         prev = 0.0
         for stage in stages:
@@ -338,16 +355,21 @@ def main() -> None:
                 fresh(i).block_until_ready() for i in range(args.reps + 3)
             ]
             extra = [] if direction == "fwd" else [g]
-            fn(starts[0], mask, seeds, flat, *extra).block_until_ready()
+            warm = fn(starts[0], mask, seeds, flat, *extra)
+            float(jax.device_get(warm.ravel()[0]))  # gate: see BASELINE.md
             times = []
             for i in range(args.reps + 3):
                 x = starts[i]
                 t0 = time.perf_counter()
                 for _ in range(calls):
                     x = fn(x, mask, seeds, flat, *extra)
-                x.block_until_ready()
+                # block_until_ready can return pre-execution over the
+                # tunnel — only a value download provably waits
+                float(jax.device_get(x.ravel()[0]))
                 if i >= 3:
-                    times.append((time.perf_counter() - t0) / calls)
+                    times.append(
+                        (time.perf_counter() - t0) / (calls * INNER_ITERS)
+                    )
             ms = float(np.median(times)) * 1e3
             key = f"{direction}/{stage}"
             results[key] = {
