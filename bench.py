@@ -206,11 +206,13 @@ def bench_retrieval_qps() -> dict:
             jnp.asarray(rng.normal(size=(qbatch, d)).astype(np.float32))
             for _ in range(reps)
         ]
-        fn(qs[0]).block_until_ready()
+        float(jax.device_get(fn(qs[0]).ravel()[0]))  # warm + gate
         t0 = time.time()
         for i in range(reps):
             idx = fn(qs[i])
-        idx.block_until_ready()
+        # value-download gate (block_until_ready can return pre-execution
+        # over the tunnel — see the train bench note above)
+        float(jax.device_get(idx.ravel()[0]))
         dt = time.time() - t0
         out[f"qps_batch{qbatch}"] = round(qbatch * reps / dt, 1)
         out[f"latency_ms_batch{qbatch}"] = round(dt / reps * 1000, 3)
