@@ -37,10 +37,12 @@ SHAPE = (1024, 512)  # 2 MB f32, VMEM-resident
 # wide K spread: the slope must be several ms so the ~31 ms tunnel
 # round-trip (cancelled by differencing) and its jitter don't swamp it.
 # K_LO must sit in the linear regime: at K=2048 the loop fully unrolls
-# (<=256 trips) and the compiler collapses the chain algebraically
-# (measured 0.02 ms with CORRECT outputs vs 4.6 ms at K=4096 — the
-# abs-guarded fma is identity-equivalent on the positive domain, so
-# the collapse is value-invisible); K>=4096 points are collinear
+# (<=256 trips) and the compiler collapsed the OLD |x*a-b| fma chain
+# algebraically (0.02 ms with correct outputs — the abs was
+# value-invisible on the positive domain; round-3 advisor finding).
+# The fma body is now a genuinely non-affine min-clamp AND main() gates
+# every published slope on a physical-plausibility ceiling, so a future
+# compiler re-fold fails loudly instead of corrupting the roofline.
 K_LO, K_HI = 4096, 16384
 REPS = 10
 DISCARD = 3
@@ -94,6 +96,20 @@ def main() -> None:
         t_hi = time_chain(mix, K_HI)
         marginal_ops = elems * (K_HI - K_LO) * ops
         eops_per_ms = marginal_ops / ((t_hi - t_lo) * 1e3)
+        # plausibility gate (round-3 advisor finding): a compiler that
+        # algebraically folds the chain makes t_hi - t_lo ~ 0 and the fitted
+        # "throughput" goes astronomically high (or negative).  v5e's VPU
+        # peak is ~3.9 G lane-ops/ms (4x (8,128) VPUs @ ~0.94 GHz); anything
+        # past 1.5x that, or a non-positive slope, means the chain collapsed
+        # and the number must not be published.
+        if not (0.0 < eops_per_ms / 1e9 < 6.0):
+            msg = (
+                f"VPU calibration for mix={mix} is implausible "
+                f"({eops_per_ms / 1e9:.2f} G elemops/ms; t_lo={t_lo*1e3:.3f} ms, "
+                f"t_hi={t_hi*1e3:.3f} ms): the chain likely folded. "
+                "Refusing to publish VPU_CALIBRATION.json."
+            )
+            raise SystemExit(msg)
         results[mix] = {
             "t_lo_ms": t_lo * 1e3,
             "t_hi_ms": t_hi * 1e3,

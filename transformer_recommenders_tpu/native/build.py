@@ -87,6 +87,10 @@ def _build() -> pathlib.Path | None:
         tmp_so = pathlib.Path(tmp) / "sampler.so"
         cmd = [
             "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+            # -pthread is required for std::thread: on glibc < 2.34 the weak
+            # pthread_create symbol is otherwise unresolved and std::thread's
+            # constructor aborts the process via std::terminate.
+            "-pthread",
             str(_SRC), "-o", str(tmp_so),
         ]
         try:

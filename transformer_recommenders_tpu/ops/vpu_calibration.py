@@ -10,8 +10,12 @@ load/store cost — the slope IS the per-element-op cost.
 
 Op mixes (chosen to bracket what the fused layer/loss kernels execute):
 
-- ``fma``    — ``|x*a - b|``: 3 element-ops/iter (the abs defeats
-  whole-chain affine folding, observed at short chains).
+- ``fma``    — ``min(x*a + b, 1.0)``: 3 element-ops/iter.  The clamp is
+  genuinely non-affine ON THE OPERATING DOMAIN (inputs straddle 1.0, so
+  the min binds for some lanes and not others every iteration), unlike
+  the earlier ``|x*a - b|`` whose abs was value-invisible on the positive
+  domain and only *happened* not to be folded at long chains (round-3
+  advisor finding).
 - ``exp``    — ``exp(x*s)``: 1 transcendental + 1 mul/iter; softmax cost.
 - ``select`` — compare + select + mul + add: 4 element-ops/iter; the
   masking/dropout pattern.
@@ -39,10 +43,11 @@ def _chain_kernel(x_ref, o_ref, *, iters: int, mix: str):
     x = x_ref[...]
 
     def body_fma(x):
-        # abs breaks the affine composition: a pure x*a+b chain is a
-        # single affine map the compiler may collapse (the first capture's
-        # K_LO point returned in 14 us — folded), while |x*a - b| is not
-        return jnp.abs(x * 1.0000001 - 1e-7)
+        # a pure x*a+b chain is a single affine map the compiler may
+        # collapse (observed: K=2048 returned in 14 us — folded).  The
+        # clamp makes the composition non-affine for REAL: inputs straddle
+        # 1.0, so min binds per-lane per-iteration and no closed form exists
+        return jnp.minimum(x * 1.0000001 + 1e-7, 1.0)
 
     def body_exp(x):
         # keep the operand bounded: x stays ~= 1.0 forever
@@ -82,7 +87,8 @@ def reference_chain(x: jax.Array, *, iters: int, mix: str = "fma") -> jax.Array:
     x = np.asarray(x, np.float32)
     for _ in range(iters):
         if mix == "fma":
-            x = np.abs(x * np.float32(1.0000001) - np.float32(1e-7))
+            x = np.minimum(x * np.float32(1.0000001) + np.float32(1e-7),
+                           np.float32(1.0))
         elif mix == "exp":
             x = np.exp(x * np.float32(1e-8), dtype=np.float32)
         else:

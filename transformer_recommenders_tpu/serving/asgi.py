@@ -43,7 +43,7 @@ class NotFound(Exception):
 
 
 class Trace:
-    __slots__ = ("spans", "metrics")
+    __slots__ = ("spans", "metrics", "header_spans")
 
     def __init__(self) -> None:
         self.spans: list[tuple[str, float]] = []
@@ -51,6 +51,11 @@ class Trace:
         # header like spans (Server-Timing allows arbitrary metrics) but
         # aggregated separately so they never pollute the seconds counter
         self.metrics: list[tuple[str, float]] = []
+        # header-only spans: shown per-request but NEVER aggregated into
+        # /metrics — for quantities shared across requests (a micro-batch's
+        # full encoder forward) that would overcount the aggregate if every
+        # waiter added them
+        self.header_spans: list[tuple[str, float]] = []
 
     def add(self, name: str, seconds: float) -> None:
         self.spans.append((name, seconds))
@@ -58,8 +63,12 @@ class Trace:
     def add_metric(self, name: str, value: float) -> None:
         self.metrics.append((name, value))
 
+    def add_header_only(self, name: str, seconds: float) -> None:
+        self.header_spans.append((name, seconds))
+
     def header(self) -> str:
         parts = [f"{n};dur={s * 1e3:.2f}" for n, s in self.spans]
+        parts += [f"{n};dur={s * 1e3:.2f}" for n, s in self.header_spans]
         parts += [f"{n};dur={v:.2f}" for n, v in self.metrics]
         return ", ".join(parts)
 
@@ -174,24 +183,32 @@ class JSONApp:
 
     def metrics_text(self) -> str:
         """Prometheus text exposition of the request counters."""
+        # snapshot under the lock: concurrent request threads mutate these
+        # dicts, and iterating live dicts can raise "dictionary changed size
+        # during iteration" on a first-seen label
+        with self._counter_lock:
+            request_counts = dict(self.request_counts)
+            request_seconds = dict(self.request_seconds)
+            span_seconds = dict(self.span_seconds)
+            span_metrics = dict(self.span_metrics)
         lines = [
             "# TYPE xrt_requests_total counter",
         ]
-        for (path, status), n in sorted(self.request_counts.items()):
+        for (path, status), n in sorted(request_counts.items()):
             route = self._escape_label(path)
             lines.append(
                 f'xrt_requests_total{{route="{route}",status="{status}"}} {n}'
             )
         lines.append("# TYPE xrt_request_seconds_total counter")
-        for path, secs in sorted(self.request_seconds.items()):
+        for path, secs in sorted(request_seconds.items()):
             route = self._escape_label(path)
             lines.append(f'xrt_request_seconds_total{{route="{route}"}} {secs:.6f}')
         lines.append("# TYPE xrt_span_seconds_total counter")
-        for name, secs in sorted(self.span_seconds.items()):
+        for name, secs in sorted(span_seconds.items()):
             span = self._escape_label(name)
             lines.append(f'xrt_span_seconds_total{{span="{span}"}} {secs:.6f}')
         lines.append("# TYPE xrt_span_metric_total counter")
-        for name, val in sorted(self.span_metrics.items()):
+        for name, val in sorted(span_metrics.items()):
             span = self._escape_label(name)
             lines.append(f'xrt_span_metric_total{{metric="{span}"}} {val:.6f}')
         return "\n".join(lines) + "\n"

@@ -144,7 +144,12 @@ class MicroBatcher:
             res, encode_s, batch_n = await fut
         tr = CURRENT_TRACE.get()
         if tr is not None:
-            tr.add("encode", encode_s)
+            # the forward is SHARED by batch_n waiters: aggregate each
+            # waiter's amortized share so xrt_span_seconds_total{span="encode"}
+            # sums to true encoder seconds (not batch_n x), and surface the
+            # full batch forward per-request on the header only
+            tr.add("encode", encode_s / batch_n)
+            tr.add_header_only("encode_batch", encode_s)
             tr.add_metric("batch_size", batch_n)
         return res
 
