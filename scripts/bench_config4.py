@@ -2,10 +2,9 @@
 ML-25M shape — 6L d=256 ffn=1024 H=8 seq=128, B=64, CCL (ContrastiveLoss),
 62k items with a learned 384->256 input projection.
 
-Round-3 question: the megafusion layer gained a per-head TALL attention
-layout for 64 < s <= 128 (ops/fused_layer._attention_tall) while the
-tunnel was down — does the fused path beat the round-2 XLA number
-(10.6 ms/step, ~60% MXU) on hardware?  Runs both paths.
+Round-3 answer: the fused per-head TALL layout measured 6.90 ms/step vs
+6.51 XLA (BENCH_CONFIG4.json) and was RETIRED in round 4 — seq > 64 runs
+the XLA stack, which this script measures.
 
 Benchmark hygiene: scanned 16-step program, distinct key per rep, burn-in
 calls, long windows (see BASELINE.md).
@@ -41,16 +40,7 @@ from transformer_recommenders_tpu.training.train_state import (  # noqa: E402
 B, S, N, EMB, K = 64, 128, 62_000, 384, 16
 
 
-def bench(use_fused: bool) -> float:
-    if use_fused:
-        # the auto gate hands s > 64 to XLA (the measured winner) — force
-        # the per-head TALL fused path so this script keeps being able to
-        # reproduce the 6.90-vs-6.51 ms comparison it documents
-        from transformer_recommenders_tpu.models import transformer as T
-
-        T._fused_layer_mode = lambda cfg, s: (
-            "compiled" if jax.default_backend() != "cpu" else None
-        )
+def bench(use_fused: bool = False) -> float:
     cfg = _flagship_config(
         hidden_size=256,
         num_hidden_layers=6,
@@ -96,9 +86,9 @@ def bench(use_fused: bool) -> float:
 
 
 def main() -> None:
-    out = {}
-    for fused in (False, True):
-        out["fused" if fused else "xla"] = bench(fused)
+    # the fused-tall arm is gone (retired round 4); the historical
+    # 6.90-vs-6.51 comparison lives in BASELINE.md / git history
+    out = {"xla": bench(False)}
     pathlib.Path("BENCH_CONFIG4.json").write_text(json.dumps(out, indent=2))
     print(json.dumps(out))
 

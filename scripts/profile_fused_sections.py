@@ -18,7 +18,7 @@ sub-kernels would lose them).
 Benchmark hygiene (memory: axon-dispatch-memoization): fresh input per rep,
 first timed calls discarded, output consumed.
 
-Usage: python scripts/profile_fused_sections.py [--shape flagship|config4]
+Usage: python scripts/profile_fused_sections.py [--shape flagship]
        [--interpret]   (interpret is a correctness smoke, not a timing)
 """
 
@@ -51,11 +51,10 @@ from transformer_recommenders_tpu.ops import fused_layer as FL  # noqa: E402
 SHAPES = {
     # flagship config #2: 4L d=128 f=512 H=8 S=32 B=256
     "flagship": dict(b=256, s=32, d=128, h=8, f=512),
-    # BASELINE.json scale config #4: 6L d=256 f=1024 H=8 S=128 B=128
-    "config4": dict(b=128, s=128, d=256, h=8, f=1024),
+    # NOTE: config #4 (seq 128) is not profileable here any more — the
+    # fused tall layout was retired round 4; seq > 64 runs the XLA stack.
     # interpret-mode smoke (CPU): correctness of the stage plumbing only
     "tiny": dict(b=4, s=8, d=32, h=4, f=64),
-    "tiny_tall": dict(b=2, s=128, d=32, h=4, f=64),
 }
 
 # kernel runs per dispatch (lax.scan chain); interpret mode is a
@@ -81,9 +80,8 @@ def _stage_fwd_kernel(x_ref, mask_ref, seed_ref, *rest, stage, num_heads, s,
         out_ref[:] = qkv[:, :d].reshape(bt, s, d).astype(out_ref.dtype)
         return
     scale = 1.0 / math.sqrt(d // num_heads)
-    tall = s > 64
-    hmask = None if tall else FL._hmask(num_heads, s, d, dtype)
-    g = 1 if tall else FL._pack_group(s, bt)
+    hmask = FL._hmask(num_heads, s, d, dtype)
+    g = FL._pack_group(s, bt)
     ctx_all = []
     if g > 1:  # lane-packed wide path (mirrors _layer_fwd_block)
         for grp in range(bt // g):
@@ -103,18 +101,11 @@ def _stage_fwd_kernel(x_ref, mask_ref, seed_ref, *rest, stage, num_heads, s,
             rs = slice(b * s, (b + 1) * s)
             q, k, v = qkv[rs, :d], qkv[rs, d : 2 * d], qkv[rs, 2 * d :]
             bias = FL._bias(mask_ref[b : b + 1], s, causal)
-            if tall:
-                ctx, _, _ = FL._attention_tall(
-                    q, k, v, bias, base_elem + b, seeds[0], num_heads=num_heads,
-                    s=s, d=d, scale=scale, rate=attn_rate, dtype=dtype,
-                    want_residuals=False,
-                )
-            else:
-                ctx, *_ = FL._attention_wide(
-                    q, k, v, bias, hmask, base_elem + b, seeds[0],
-                    num_heads=num_heads, s=s, scale=scale, rate=attn_rate,
-                    dtype=dtype,
-                )
+            ctx, *_ = FL._attention_wide(
+                q, k, v, bias, hmask, base_elem + b, seeds[0],
+                num_heads=num_heads, s=s, scale=scale, rate=attn_rate,
+                dtype=dtype,
+            )
             ctx_all.append(ctx)
     ctx = jnp.concatenate(ctx_all, axis=0)
     if stage == "attn":
@@ -193,18 +184,7 @@ def _stage_bwd_kernel(x_ref, mask_ref, seed_ref, g_ref, *refs, stage,
         return
     scale = 1.0 / math.sqrt(d // num_heads)
     dqkv = []
-    if s > 64:
-        for b in range(bt):
-            rs = slice(b * s, (b + 1) * s)
-            probs_l, dropped_l = res["attn"][b]
-            dqkv.append(FL._attention_tall_bwd(
-                dctx[rs], probs_l, dropped_l,
-                res["qkv"][rs, :d], res["qkv"][rs, d : 2 * d],
-                res["qkv"][rs, 2 * d :], base_elem + b, seeds[0],
-                num_heads=num_heads, s=s, d=d, scale=scale, rate=attn_rate,
-                dtype=dtype,
-            ))
-    elif FL._pack_group(s, bt) > 1:  # lane-packed residuals (per group)
+    if FL._pack_group(s, bt) > 1:  # lane-packed residuals (per group)
         g = FL._pack_group(s, bt)
         hmask_f = FL._hmask(num_heads, s, d, dtype).astype(jnp.float32)
         for grp in range(bt // g):

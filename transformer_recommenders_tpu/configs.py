@@ -78,8 +78,9 @@ class ModelConfig(pydantic.BaseModel):
     # NOTE: a standalone fused-attention kernel (use_pallas_attention,
     # round 2) was measured and RETIRED in round 3: it lost to the tuned
     # XLA attention at every benched shape (BASELINE.md attention table);
-    # its layouts live on inside the fused layer (wide s <= 64, per-head
-    # tall s <= 128 — ops/fused_layer.py)
+    # its wide layout lives on inside the fused layer (s <= 64,
+    # lane-packed — ops/fused_layer.py; the per-head tall layout was
+    # retired in round 4, s > 64 is the XLA stack's)
     # XLA attention formulation.  "split": classic head-split einsum
     # (B,S,H,Dh) — the textbook form, but with Dh < 128 every head split
     # forces lane-splitting relayout copies (traced at ~0.7 ms/step at the

@@ -171,16 +171,14 @@ def _fused_layer_mode(cfg: ModelConfig, s: int) -> str | None:
     # to the 128-lane boundary (exact — ops/fused_layer.py)
     if cfg.hidden_size % 128 or s % 8:
         return None
-    # s <= 64 runs the wide layout, lane-packed g=128/S elements per probs
-    # tile (measured WINS: 3.10 -> 2.30 ms/step flagship round 2, 2.27 ->
-    # 1.89 with lane packing round 3).  The per-head TALL layout for
-    # 64 < s <= 128 (ops/fused_layer._attention_tall) was measured at the
-    # config-#4 shape on v5e (scripts/bench_config4.py, round 3):
-    # 6.90 ms/step fused vs 6.51 XLA — the tall path is VMEM-capped at
-    # block batch 2 (bt=4 needs 23.6 MB scoped vmem) and the per-program
-    # overhead of 32 tiny programs loses to XLA's fused attention, which
-    # keeps the MXU contraction 128-wide across heads.  The kernel remains
-    # ops-level (tested, within 6%) but the auto gate hands s > 64 to XLA.
+    # s <= 64 runs the wide layout, lane-packed g elements per probs tile
+    # (measured WINS: 3.10 -> 2.30 ms/step flagship round 2, 2.27 -> 1.89
+    # with lane packing round 3; partial packs for 128 % s != 0 win 36%
+    # vs XLA at s=48, round 4).  s > 64 runs the XLA stack: the per-head
+    # TALL kernel layout was measured losing at config #4 (6.90 vs
+    # 6.51 ms/step, round 3) and RETIRED in round 4 (the dh=128 shape
+    # where it could win cannot hold f32 params+grads in VMEM — see
+    # ops/fused_layer.py).
     if s > 64:
         return None
     try:
@@ -218,10 +216,11 @@ def _attention(
     scale = 1.0 / math.sqrt(dh)
 
     # Fused Pallas attention lives INSIDE the megafusion layer kernel
-    # (ops/fused_layer.py: wide layout s <= 64, per-head tall layout
-    # s <= 128).  A standalone use_pallas_attention kernel existed in
-    # round 2 and was retired: it lost to this XLA path at every benched
-    # shape (BASELINE.md attention table).
+    # (ops/fused_layer.py: lane-packed wide layout, s <= 64; longer
+    # sequences run THIS path).  A standalone use_pallas_attention kernel
+    # (round 2) and a per-head tall in-kernel layout (round 3) were both
+    # retired: each lost to this XLA path at every feasible benched shape
+    # (BASELINE.md attention table; BENCH_CONFIG4.json).
     bias = jnp.where(key_mask[:, None, None, :], 0.0, _NEG_INF)  # mask padded keys
     if cfg.is_decoder:
         causal = jnp.tril(jnp.ones((s, s), jnp.bool_))

@@ -7,9 +7,10 @@ History: these started life in a standalone fused-attention kernel
 round 3 — it lost to the tuned XLA attention at every benched shape
 (11.84/12.39 vs 7.90 ms at config #4; BASELINE.md round-2 attention
 table), and its useful ideas now live INSIDE the megafusion layer
-kernel: the wide layout for s <= 64 (``fused_layer._attention_wide``)
-and the per-head tall layout for 64 < s <= 128
-(``fused_layer._attention_tall``).  Replacing torch SDPA-in-BertLayer
+kernel: the lane-packed wide layout for s <= 64
+(``fused_layer._attention_wide_packed``; the per-head tall layout for
+64 < s <= 128 was retired in round 4 — it lost to XLA at every feasible
+shape).  Replacing torch SDPA-in-BertLayer
 (``xfmr_rec/models.py:306-345``) is the megafusion layer's job.
 
 The WIDE layout: heads are stacked along the matmul ROW dimension, never

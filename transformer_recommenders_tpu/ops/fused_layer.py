@@ -3,10 +3,13 @@
 One program computes an ENTIRE post-LN transformer layer for a block of
 batch elements with every intermediate resident in VMEM:
 
-    qkv dense -> attention (wide layout for s <= 64, per-head tall layout
-    for 64 < s <= 128 — ops/attention_common.py has the shared pieces)
+    qkv dense -> attention (lane-packed wide layout, s <= 64 —
+    ops/attention_common.py has the shared pieces)
     -> out dense -> dropout -> add&LN -> FFN (exact gelu) -> dropout
     -> add&LN
+
+Sequences longer than 64 run the XLA layer stack (the per-head tall
+layout was retired in round 4 — see the note above _layer_fwd_block).
 
 The unfused XLA layer moves ~50 MB/layer of HBM traffic at the flagship
 shape (B=256, S=32, D=128): every dense/LN/dropout/cast boundary
@@ -150,6 +153,33 @@ def _erf(x):
               -7.37332916720468e-03, -1.42647390514189e-02):
         b = b * x2 + jnp.float32(c)
     return a / b
+
+
+def _erf_as(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (|abs err| <= 2.5e-5): one
+    exp + one reciprocal + a 3-term Horner instead of the ~27-op Eigen
+    minimax polynomial of :func:`_erf`.
+
+    Used ONLY in the BACKWARD's forward-recompute under a bf16 compute
+    dtype (``_APPROX_RECOMPUTE_ERF``): the forward keeps the exact Eigen
+    polynomial, so model OUTPUTS stay bit-identical to the XLA path; the
+    gradient shift is O(1e-5) relative — far below bf16 training noise.
+    Measured round 4 (scripts/bench_layer_variants.py): the recompute's
+    erf polynomial is 22 us of the 91 us marginal backward at the
+    flagship shape."""
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + jnp.float32(0.47047) * ax)
+    poly = t * (
+        jnp.float32(0.3480242)
+        + t * (jnp.float32(-0.0958798) + t * jnp.float32(0.7478556))
+    )
+    mag = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.where(x < 0.0, -mag, mag)
+
+
+# flip to False to force the exact Eigen erf in the backward recompute
+# (f32 compute dtypes always use the exact polynomial)
+_APPROX_RECOMPUTE_ERF = True
 
 
 def _gelu(u, erf_u=None):
@@ -377,103 +407,31 @@ def _attention_wide_packed_bwd(gctx, res, hmask_f, elem_base, seed, *,
 
 def _pack_group(s: int, bt: int) -> int:
     """Lane-pack group size: how many elements share one (H*S, g*S) probs
-    tile.  Full 128-lane fill needs 128 % s == 0; shrink to bt when the
-    block is smaller than the ideal group (both are powers of two)."""
-    if s > 64 or 128 % s:
+    tile.  g is the largest power of two with g*s <= 128, so it always
+    divides the power-of-two block batch.  Full 128-lane fill when
+    128 % s == 0; PARTIAL fill otherwise (round-3 verdict #6: e.g. S=48
+    packs g=2 for 96/128 = 75% lane fill vs the unpacked path's 37.5% —
+    the block-diagonal contraction and segmented softmax are exact at any
+    g, nothing about them needs g*s == 128).  Shrink to bt when the block
+    is smaller than the ideal group."""
+    if s > 64:
         return 1
-    return min(128 // s, bt)
+    g = 1
+    while 2 * g * s <= 128:
+        g *= 2
+    return min(g, bt)
 
 
-def _head_probs_idx(elem, h: int, num_heads: int, s: int):
-    """uint32 linear index into the global (B, H, S, S) probs layout for one
-    element's head-h (S, S) score matrix — the same stream the XLA split
-    path's ``_dropout`` hashes, so tall-path dropout is bit-identical."""
-    r = jax.lax.broadcasted_iota(jnp.uint32, (s, s), 0)
-    t = jax.lax.broadcasted_iota(jnp.uint32, (s, s), 1)
-    return (
-        (elem.astype(jnp.uint32) * jnp.uint32(num_heads) + jnp.uint32(h))
-        * jnp.uint32(s * s)
-        + r * jnp.uint32(s)
-        + t
-    )
-
-
-def _attention_tall(q, k, v, bias, elem, seed, *, num_heads, s, d, scale,
-                    rate, dtype, want_residuals):
-    """One element's attention via per-head (S, Dh) slices — the layout for
-    LONG sequences (s > 64), where the wide formulation's H x redundant
-    score MACs dominate (H*S^2*D vs H*S^2*Dh: 8x at config #4's H=8) and a
-    (S, S) = (128, 128) probs matrix fills the VPU lanes on its own.  The
-    QK^T contraction depth is only Dh (MXU underfill), but that term is
-    ~4x smaller than the wide layout's full-depth-but-8x-wider one.
-
-    Numerics match the XLA ``attention_impl="split"`` path: f32 scores and
-    softmax, probs cast to the compute dtype for PV, f32 context.
-    """
-    dh = d // num_heads
-    bias_full = bias if bias.shape[0] == s else jnp.broadcast_to(bias, (s, s))
-    ctx_cols, probs_l, dropped_l = [], [], []
-    for h in range(num_heads):
-        cs = slice(h * dh, (h + 1) * dh)
-        scores = jnp.dot(
-            q[:, cs], k[:, cs].T, preferred_element_type=jnp.float32
-        ) * scale
-        probs = jax.nn.softmax(scores + bias_full, axis=-1)
-        if rate > 0.0:
-            keep = _keep(seed, _head_probs_idx(elem, h, num_heads, s), rate)
-            dropped = jnp.where(keep, probs / (1.0 - rate), 0.0)
-        else:
-            dropped = probs
-        ctx_cols.append(
-            jnp.dot(
-                dropped.astype(dtype), v[:, cs],
-                preferred_element_type=jnp.float32,
-            )
-        )
-        if want_residuals:
-            probs_l.append(probs)
-            dropped_l.append(dropped)
-    ctx = jnp.concatenate(ctx_cols, axis=1)  # (S, D) f32
-    return ctx.astype(dtype), probs_l, dropped_l
-
-
-def _attention_tall_bwd(gctx, probs_l, dropped_l, q, k, v, elem, seed, *,
-                        num_heads, s, d, scale, rate, dtype):
-    """VJP of :func:`_attention_tall`; returns (S, 3D) f32 d(qkv) rows."""
-    dh = d // num_heads
-    dq_cols, dk_cols, dv_cols = [], [], []
-    for h in range(num_heads):
-        cs = slice(h * dh, (h + 1) * dh)
-        gc = gctx[:, cs].astype(dtype)
-        probs, dropped = probs_l[h], dropped_l[h]
-        dv_cols.append(
-            jnp.dot(dropped.T.astype(dtype), gc, preferred_element_type=jnp.float32)
-        )
-        d_dropped = jnp.dot(gc, v[:, cs].T, preferred_element_type=jnp.float32)
-        if rate > 0.0:
-            # keep recovered from the saved dropped tile — bit-identical
-            # d_scores, no fmix32 re-hash (see _attention_wide_packed_bwd)
-            d_probs = jnp.where(dropped != 0.0, d_dropped / (1.0 - rate), 0.0)
-        else:
-            d_probs = d_dropped
-        d_scores = probs * (
-            d_probs - jnp.sum(d_probs * probs, axis=-1, keepdims=True)
-        )
-        d_scores = (d_scores * scale).astype(dtype)
-        dq_cols.append(
-            jnp.dot(d_scores, k[:, cs], preferred_element_type=jnp.float32)
-        )
-        dk_cols.append(
-            jnp.dot(d_scores.T, q[:, cs], preferred_element_type=jnp.float32)
-        )
-    return jnp.concatenate(
-        [
-            jnp.concatenate(dq_cols, axis=1),
-            jnp.concatenate(dk_cols, axis=1),
-            jnp.concatenate(dv_cols, axis=1),
-        ],
-        axis=1,
-    )
+# The per-head TALL attention layout (64 < s <= 128) was RETIRED in
+# round 4, following the round-2 flash kernel: the auto gate never
+# selected it (config #4 measured 6.90 ms fused-tall vs 6.51 XLA,
+# BENCH_CONFIG4.json round 3), and the shape where per-head slices would
+# be MXU-perfect (dh = 128, e.g. d=512 H=4 seq=128) cannot compile AT ALL
+# under this kernel's design — the f32 params + param-grads resident in
+# VMEM across the grid are 25.2 MB at d=512 f=2048, past the 16 MB scoped
+# limit (measured round 4, scripts/bench_layer_variants.py --shape
+# tall512).  Long sequences belong to the XLA layer stack, whose fused
+# attention keeps the MXU contraction 128-wide across heads.
 
 
 def _layer_fwd_block(x, mask_blk, params, seeds, base_elem, *, num_heads, s,
@@ -484,13 +442,12 @@ def _layer_fwd_block(x, mask_blk, params, seeds, base_elem, *, num_heads, s,
     intermediates the backward needs."""
     bt = x.shape[0]
     rows = bt * s
-    tall = s > 64  # per-head slices beat the wide layout's H x score MACs
-    hmask = None if tall else _hmask(num_heads, s, d, dtype)
+    hmask = _hmask(num_heads, s, d, dtype)
     scale = 1.0 / math.sqrt(d // num_heads)
 
     xf = x.reshape(rows, d)
     qkv = _matmul(xf, params["qkv_w"], params["qkv_b"], dtype)  # (rows, 3D)
-    g = 1 if tall else _pack_group(s, bt)
+    g = _pack_group(s, bt)
     if g > 1:
         ctx_all, attn_res = [], []
         for grp in range(bt // g):
@@ -521,16 +478,6 @@ def _layer_fwd_block(x, mask_blk, params, seeds, base_elem, *, num_heads, s,
         k = qkv[rs, d : 2 * d]
         v = qkv[rs, 2 * d :]
         bias = _bias(mask_blk[b : b + 1], s, causal)
-        if tall:
-            ctx, probs_l, dropped_l = _attention_tall(
-                q, k, v, bias, base_elem + b, seeds[0],
-                num_heads=num_heads, s=s, d=d, scale=scale, rate=attn_rate,
-                dtype=dtype, want_residuals=want_residuals,
-            )
-            ctx_all.append(ctx)
-            if want_residuals:
-                attn_res.append((probs_l, dropped_l))
-            continue
         ctx, probs, dropped, keep, qw = _attention_wide(
             q, k, v, bias, hmask, base_elem + b, seeds[0],
             num_heads=num_heads, s=s, scale=scale, rate=attn_rate,
@@ -565,7 +512,12 @@ def _layer_tail(xf, ctx, params, seeds, base_elem, *, rows, s, d,
 
     u = _matmul(x1, params["ffn_in_w"], params["ffn_in_b"], dtype)
     u32 = u.astype(jnp.float32)
-    erf_u = _erf(u32 * _INV_SQRT2)
+    if want_residuals and _APPROX_RECOMPUTE_ERF and dtype == jnp.bfloat16:
+        # backward recompute only: the A&S rational replaces the Eigen
+        # polynomial (see _erf_as) — forward numerics are untouched
+        erf_u = _erf_as(u32 * _INV_SQRT2)
+    else:
+        erf_u = _erf(u32 * _INV_SQRT2)
     g = _gelu(u32, erf_u).astype(dtype)
     f = _matmul(g, params["ffn_out_w"], params["ffn_out_b"], dtype)
     if hidden_rate > 0.0:
@@ -681,7 +633,7 @@ def _bwd_kernel(x_ref, mask_ref, seed_ref, g_ref, *refs,
 
     # attention backward per element
     scale = 1.0 / math.sqrt(d // num_heads)
-    g = 1 if s > 64 else _pack_group(s, bt)
+    g = _pack_group(s, bt)
     if g > 1:  # lane-packed wide path (see _attention_wide_packed)
         hmask_f = _hmask(num_heads, s, d, dtype).astype(jnp.float32)
         dqkv = jnp.concatenate(
@@ -710,37 +662,6 @@ def _bwd_kernel(x_ref, mask_ref, seed_ref, g_ref, *refs,
         for name, ref in zip(_PARAM_NAMES, dparam_refs):
             ref[:] += dparams[name].astype(jnp.float32)
         return
-    if s > 64:  # tall path (see _attention_tall)
-        dqkv = []
-        for b in range(bt):
-            rs = slice(b * s, (b + 1) * s)
-            probs_l, dropped_l = res["attn"][b]
-            dqkv.append(
-                _attention_tall_bwd(
-                    dctx[rs], probs_l, dropped_l,
-                    res["qkv"][rs, :d], res["qkv"][rs, d : 2 * d],
-                    res["qkv"][rs, 2 * d :],
-                    base_elem + b, seeds[0],
-                    num_heads=num_heads, s=s, d=d, scale=scale,
-                    rate=attn_rate, dtype=dtype,
-                )
-            )
-        dqkv = jnp.concatenate(dqkv, axis=0)
-        dqm = dqkv.astype(dtype)
-        xfm = res["xf"].astype(dtype)
-        dparams["qkv_w"] = jnp.dot(
-            xfm.T, dqm, preferred_element_type=jnp.float32
-        )
-        dparams["qkv_b"] = jnp.sum(dqkv, axis=0, keepdims=True)
-        dx0 = dx0 + jnp.dot(
-            dqm, params["qkv_w"].astype(dtype).T,
-            preferred_element_type=jnp.float32,
-        )
-        dx_ref[:] = dx0.reshape(bt, s, d).astype(dx_ref.dtype)
-        for name, ref in zip(_PARAM_NAMES, dparam_refs):
-            ref[:] += dparams[name].astype(jnp.float32)
-        return
-
     hmask = _hmask(num_heads, s, d, dtype)
     hmask_f = hmask.astype(jnp.float32)
     dqkv = []
@@ -805,9 +726,7 @@ def _pick_block_batch(b: int, s: int, d: int, f: int, num_heads: int) -> int:
     with the block."""
     hs = num_heads * s
     static = 2 * 4 * (3 * d * d + d * d + 2 * d * f + 8 * d)  # params+grads f32
-    if s > 64:  # tall path: per-head (S, S) probs/dropped f32 residuals
-        attn = (2 * num_heads + 4) * s * s * 4
-    elif 128 % s == 0 and s < 128:
+    if _pack_group(s, 1 << 30) > 1:
         # lane-packed wide path, per-element share of the per-group tiles:
         # qp/gwp (H*S, g*D) bf16, block-diag kp/vp (128, g*D) bf16, the
         # (H*S, 128) f32 probs family, dv/dk full (128, g*D) f32 outputs,
@@ -957,6 +876,16 @@ def fused_layer(
         (B, S, D) layer output in the compute dtype.
     """
     b, s, d = x.shape
+    if s > 64:
+        msg = (
+            f"fused_layer supports s <= 64 (got s={s}): the per-head tall "
+            "layout for long sequences was retired in round 4 — it lost to "
+            "the XLA layer stack at every feasible shape (6.90 vs 6.51 ms "
+            "at config #4) and d >= 512 cannot hold f32 params+grads in "
+            "VMEM.  Long sequences run the XLA path (the gate in "
+            "models/transformer._fused_layer_mode does this automatically)."
+        )
+        raise ValueError(msg)
     if dropout_seeds is None:
         dropout_seeds = jnp.zeros((3,), jnp.uint32)
         attn_dropout = 0.0
