@@ -31,12 +31,21 @@ N_ITEMS = 4096
 EMB_DIM = 384
 STEPS = 30
 WARMUP = 5
-TORCH_STEPS = 6
+# >=20 timed torch steps so the vs_baseline multiple carries error bars
+# (round-3 verdict: a 6-step window on a shared host is too noisy to quote
+# to four significant figures)
+TORCH_STEPS = 20
 TORCH_WARMUP = 2
 
 
 def log(*args) -> None:
     print(*args, file=sys.stderr, flush=True)
+
+
+def _spread_pct(values: list[float]) -> float:
+    """(max - min) / median as a percentage — the published spread figure."""
+    med = float(np.median(values))
+    return round((max(values) - min(values)) / med * 100, 1) if med else 0.0
 
 
 def bench_ours() -> float:
@@ -104,20 +113,33 @@ def bench_ours() -> float:
         state, logs = steps_fn(state, table, stacked, key)
     float(jax.device_get(jax.tree.leaves(state.params)[1].ravel()[0]))
 
-    t0 = time.time()
-    reps = 20  # 320 steps: long window for a stable sustained rate
-    for _ in range(reps):
-        state, logs = steps_fn(state, table, stacked, key)
-    # gate on a VALUE download, not just block_until_ready: over the axon
-    # tunnel block_until_ready can return before execution for some
-    # programs (observed: a 6L seq-128 scan "finished" in 3 ms; the same
-    # window gated by device_get measured 1.9 s) — a scalar fetch is the
-    # only sync that provably waits
-    float(jax.device_get(jax.tree.leaves(state.params)[1].ravel()[0]))
-    dt = time.time() - t0
-    eps = B * k_steps * reps / dt
-    log(f"ours: {k_steps * reps} scanned steps in {dt:.2f}s -> {eps:.1f} examples/s")
-    return eps
+    # 3 spaced windows of 20 reps (320 scanned steps each — the round-3
+    # window length, so the ~31 ms tunnel round-trip each window pays on
+    # its value gate stays ~5% like previous rounds): the median is the
+    # headline and the spread is published, so a tunnel-contended window
+    # is visible instead of silently polluting the number
+    windows = []
+    reps = 20
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(reps):
+            state, logs = steps_fn(state, table, stacked, key)
+        # gate on a VALUE download, not just block_until_ready: over the
+        # axon tunnel block_until_ready can return before execution for
+        # some programs (observed: a 6L seq-128 scan "finished" in 3 ms;
+        # the same window gated by device_get measured 1.9 s) — a scalar
+        # fetch is the only sync that provably waits
+        float(jax.device_get(jax.tree.leaves(state.params)[1].ravel()[0]))
+        windows.append(B * k_steps * reps / (time.time() - t0))
+        time.sleep(0.25)
+    eps = float(np.median(windows))
+    spread = _spread_pct(windows)
+    log(
+        f"ours: 3 windows x {k_steps * reps} scanned steps -> "
+        f"median {eps:.1f} examples/s (spread {spread}%: "
+        f"{[round(w, 1) for w in windows]})"
+    )
+    return eps, windows
 
 
 def bench_torch_reference() -> float:
@@ -170,13 +192,19 @@ def bench_torch_reference() -> float:
 
     for _ in range(TORCH_WARMUP):
         run_step()
-    t0 = time.time()
+    step_times = []
     for _ in range(TORCH_STEPS):
+        t0 = time.time()
         run_step()
-    dt = time.time() - t0
-    eps = B * TORCH_STEPS / dt
-    log(f"torch reference: {TORCH_STEPS} steps in {dt:.2f}s -> {eps:.1f} examples/s")
-    return eps
+        step_times.append(time.time() - t0)
+    med = float(np.median(step_times))
+    eps = B / med
+    spread = _spread_pct(step_times)
+    log(
+        f"torch reference: {TORCH_STEPS} steps, median {med * 1e3:.0f} ms "
+        f"-> {eps:.1f} examples/s (per-step spread {spread}%)"
+    )
+    return eps, step_times
 
 
 def bench_retrieval_qps() -> dict:
@@ -198,46 +226,68 @@ def bench_retrieval_qps() -> dict:
     )
     out = {}
     fn = jax.jit(lambda q: topk_items(q, items, k, items_prenormalized=True)[1])
+    # variance defense (round-3 verdict #1: one 50-rep window per batch
+    # size is exactly the condition under which earlier rounds mis-read
+    # tunnel contention as kernel regression): 5 spaced windows per batch
+    # size, median is the headline, spread and per-window values are
+    # published, and a wide spread is flagged as suspected contention.
+    n_windows, reps = 5, 50
     for qbatch in (1, 32, 256):
-        reps = 50
-        # a distinct query per rep: the axon tunnel memoizes identical
-        # (program, args) dispatches (see BASELINE.md)
+        # distinct queries per rep AND per window: the axon tunnel
+        # memoizes identical (program, args) dispatches (see BASELINE.md)
         qs = [
             jnp.asarray(rng.normal(size=(qbatch, d)).astype(np.float32))
-            for _ in range(reps)
+            for _ in range(n_windows * reps)
         ]
         float(jax.device_get(fn(qs[0]).ravel()[0]))  # warm + gate
-        t0 = time.time()
-        for i in range(reps):
-            idx = fn(qs[i])
-        # value-download gate (block_until_ready can return pre-execution
-        # over the tunnel — see the train bench note above)
-        float(jax.device_get(idx.ravel()[0]))
-        dt = time.time() - t0
-        out[f"qps_batch{qbatch}"] = round(qbatch * reps / dt, 1)
-        out[f"latency_ms_batch{qbatch}"] = round(dt / reps * 1000, 3)
+        lat_ms = []
+        for w in range(n_windows):
+            t0 = time.time()
+            for i in range(w * reps, (w + 1) * reps):
+                idx = fn(qs[i])
+            # value-download gate (block_until_ready can return
+            # pre-execution over the tunnel — see the train bench note)
+            float(jax.device_get(idx.ravel()[0]))
+            lat_ms.append((time.time() - t0) / reps * 1000)
+            time.sleep(0.25)
+        med = float(np.median(lat_ms))
+        spread = _spread_pct(lat_ms)
+        out[f"qps_batch{qbatch}"] = round(qbatch / med * 1000, 1)
+        out[f"latency_ms_batch{qbatch}"] = round(med, 3)
+        out[f"latency_ms_batch{qbatch}_windows"] = [round(t, 3) for t in lat_ms]
+        out[f"latency_ms_batch{qbatch}_spread_pct"] = spread
+        if spread > 25.0:
+            out[f"batch{qbatch}_suspected_contention"] = True
+            log(
+                f"WARNING: retrieval batch={qbatch} window spread {spread}% "
+                f"> 25% — suspected tunnel contention; median reported"
+            )
     log(f"retrieval top-100 over {n_items}x{d}: {out}")
     return out
 
 
 def main() -> None:
-    ours = bench_ours()
+    ours, train_windows = bench_ours()
     try:
         retrieval = bench_retrieval_qps()
     except Exception as exc:  # noqa: BLE001
         log(f"retrieval bench failed: {exc!r}")
         retrieval = {}
     try:
-        baseline = bench_torch_reference()
+        baseline, torch_steps = bench_torch_reference()
     except Exception as exc:  # noqa: BLE001 — baseline is best-effort
         log(f"torch baseline failed: {exc!r}")
-        baseline = float("nan")
+        baseline, torch_steps = float("nan"), []
     vs = ours / baseline if baseline == baseline and baseline > 0 else float("nan")
     details = {
         "train_examples_per_s": round(ours, 1),
+        "train_window_examples_per_s": [round(w, 1) for w in train_windows],
+        "train_window_spread_pct": _spread_pct(train_windows),
         "torch_reference_examples_per_s": round(baseline, 1)
         if baseline == baseline
         else None,
+        "torch_step_ms": [round(t * 1e3, 1) for t in torch_steps],
+        "torch_step_spread_pct": _spread_pct(torch_steps) if torch_steps else None,
         "retrieval": retrieval,
     }
     with open("BENCH_DETAILS.json", "w") as f:
