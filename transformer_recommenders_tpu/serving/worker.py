@@ -18,6 +18,14 @@ import sys
 
 def main() -> None:
     artifact, host, port = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    import os
+
+    cpus = os.environ.get("XRT_WORKER_CPUS")
+    if cpus:
+        # BEFORE jax import: XLA sizes its intra-op pool from the visible
+        # core count, so the affinity must be set first (asgi.serve_workers
+        # pin_cpus — prevents N workers x N-thread pools oversubscription)
+        os.sched_setaffinity(0, {int(c) for c in cpus.split(",")})
     import jax
 
     jax.config.update("jax_platforms", "cpu")
