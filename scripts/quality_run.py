@@ -74,13 +74,29 @@ def main() -> None:
     )
     t0 = time.time()
     trainer = Trainer(config, SeqDataModule(data_config), log_dir="/tmp/xrt_quality_logs")
+    trainer.configure()  # ETL + model + compile outside the fit timing
+    t_fit = time.time()
     result = trainer.fit()
+    fit_wall = time.time() - t_fit
     test = trainer.test()
     trainer.close()
+    phases = {k: round(v, 1) for k, v in trainer.phase_seconds.items()}
+    # host_sample overlaps the device (producer thread) — exclude it from
+    # the main-loop accounting
+    accounted = sum(
+        v for k, v in trainer.phase_seconds.items() if k != "host_sample"
+    )
     payload = {
         "config": "reference-equivalent (1L d=384 ffn=48 seq=32, InfoNCE) on synthetic ML-1M shape",
         "epochs": args.epochs,
         "wall_s": round(time.time() - t0, 1),
+        "fit_wall_s": round(fit_wall, 1),
+        # per-phase attribution of the fit() wall (round-3 verdict #3):
+        # host_sample runs on the producer thread (overlaps the device);
+        # queue_wait = main loop starved for batches; dispatch = step-call
+        # time incl. blocking when the dispatch queue backs up
+        "fit_phase_seconds": phases,
+        "fit_unattributed_s": round(max(0.0, fit_wall - accounted), 1),
         "val": {k: round(v, 4) for k, v in result.items()},
         "test": {k: round(v, 4) for k, v in test.items()},
     }

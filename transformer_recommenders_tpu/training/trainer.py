@@ -70,6 +70,24 @@ class Trainer:
         self._evaluator: Evaluator | None = None
         self._sharded_evaluator = None
         self._placed_items = None
+        # per-phase wall-time attribution for the LAST fit() (seconds):
+        # host_sample (producer thread), queue_wait (device starved for
+        # batches), upload (device_put calls), dispatch (step-call time,
+        # includes blocking when the dispatch queue backs up), log
+        # (device_get + sink writes), validate, checkpoint.  Round-3
+        # verdict #3: the end-to-end-vs-device-rate gap must be a measured
+        # table, not prose.
+        self.phase_seconds: dict[str, float] = self._fresh_phases()
+
+    @staticmethod
+    def _fresh_phases() -> dict[str, float]:
+        return {
+            k: 0.0
+            for k in (
+                "host_sample", "queue_wait", "upload", "dispatch", "log",
+                "validate", "checkpoint",
+            )
+        }
 
     # -- setup ---------------------------------------------------------------
 
@@ -196,6 +214,7 @@ class Trainer:
         last_val: dict[str, float] = {}
         root_key = jax.random.key(cfg.seed)
         t_start = time.time()
+        self.phase_seconds = self._fresh_phases()
         examples = 0
         stop = False
         epoch = 0
@@ -259,7 +278,9 @@ class Trainer:
             def midepoch_validate(at_epoch: int) -> bool:
                 nonlocal last_validated_step
                 self.model.params = self.state.params
+                t_val = time.time()
                 val = self.validate(stage="val")
+                self.phase_seconds["validate"] += time.time() - t_val
                 last_validated_step = self._host_step or int(self.state.step)
                 self.logger.log(val, step=last_validated_step)
                 return on_validation(val, at_epoch)
@@ -292,11 +313,14 @@ class Trainer:
                 # re-scoring ties the monitor and burns early-stopping
                 # patience every epoch (round-2 review finding)
                 if cur_step != last_validated_step:
+                    t_val = time.time()
                     val = self.validate(stage="val")
+                    self.phase_seconds["validate"] += time.time() - t_val
                     last_validated_step = cur_step
                     self.logger.log(val, step=cur_step)
                     stop = on_validation(val, epoch) or stop
                 if cfg.checkpoint_every_epoch:
+                    t_ck = time.time()
                     ckpt_lib.save_checkpoint(
                         pathlib.Path(cfg.ckpt_dir) / "last",
                         self.state,
@@ -304,6 +328,7 @@ class Trainer:
                         metrics=last_val,
                         backend=cfg.checkpoint_backend,
                     )
+                    self.phase_seconds["checkpoint"] += time.time() - t_ck
                 if stop:
                     break
         finally:
@@ -440,17 +465,26 @@ class Trainer:
         window_queue: queue_mod.Queue = queue_mod.Queue(maxsize=2)
         _DONE = object()
 
+        phases = self.phase_seconds
+
         def produce() -> None:
             buf: list[dict] = []
+            t0 = time.perf_counter()
             for i, batch in enumerate(self.datamodule.train_batches(epoch)):
                 if 0 <= cfg.limit_train_batches <= i:
                     break
                 buf.append(batch)
                 if len(buf) == k:
-                    window_queue.put(("full", stack_batches(buf), k, sum(
+                    stacked = stack_batches(buf)
+                    # sampling+stacking time only — queue.put can block on
+                    # a full queue (device-bound, not host-bound)
+                    phases["host_sample"] += time.perf_counter() - t0
+                    window_queue.put(("full", stacked, k, sum(
                         b["history_item_idx"].shape[0] for b in buf
                     )))
                     buf = []
+                    t0 = time.perf_counter()
+            phases["host_sample"] += time.perf_counter() - t0
             if buf:  # ragged tail: handled by single-step dispatches
                 window_queue.put(("tail", buf, len(buf), sum(
                     b["history_item_idx"].shape[0] for b in buf
@@ -460,34 +494,52 @@ class Trainer:
         threading.Thread(target=produce, daemon=True).start()
 
         while True:
+            t0 = time.perf_counter()
             item = window_queue.get()
+            phases["queue_wait"] += time.perf_counter() - t0
             if item is _DONE:
                 return False, examples
             kind, payload, n_steps, n_examples = item
             if kind == "full":
+                t0 = time.perf_counter()
                 if window_sharding is not None:
                     payload = {
                         key: jax.device_put(v, window_sharding)
                         for key, v in payload.items()
                     }
+                else:
+                    # explicit async staging (device_put returns immediately;
+                    # the transfer overlaps the previous window's compute)
+                    payload = {
+                        key: jax.device_put(v) for key, v in payload.items()
+                    }
+                phases["upload"] += time.perf_counter() - t0
                 table = (
                     self._placed_table
                     if self.mesh is not None
                     else self.model.item_table
                 )
+                t0 = time.perf_counter()
                 self.state, logs = self._scan_step(
                     self.state, table, payload, root_key
                 )
+                phases["dispatch"] += time.perf_counter() - t0
                 examples += n_examples
                 self._host_step += n_steps
                 if self._host_step // k % max(cfg.log_every_n_steps // k, 1) == 0:
+                    t0 = time.perf_counter()
+                    # ONE batched device_get: per-key np.asarray fetches
+                    # were N sequential tunnel round-trips (~31 ms each) per
+                    # logging event (round-4 attribution finding)
+                    host_logs = jax.device_get(logs)
                     means = {
-                        key: float(np.mean(np.asarray(v))) for key, v in logs.items()
+                        key: float(np.mean(v)) for key, v in host_logs.items()
                     }
                     means["train/examples_per_s"] = examples / max(
                         time.time() - t_start, 1e-9
                     )
                     self.logger.log(means, step=self._host_step)
+                    phases["log"] += time.perf_counter() - t0
             else:  # ragged tail keeps shapes static via the single-step path
                 if getattr(self, "_single_step", None) is None:
                     if self.mesh is not None:
