@@ -26,6 +26,32 @@ from transformer_recommenders_tpu.ops.metrics import retrieval_metrics
 from transformer_recommenders_tpu.ops.topk import mask_excluded, score_items
 
 
+@jax.jit
+def _device_reduce(metrics: dict) -> jax.Array:
+    """Reduce a per-user metric dict to ONE small vector on device:
+    [sum(metric_i * valid) for sorted names..., sum(valid)].
+
+    The per-batch ``jax.device_get(metrics)`` fetched ~8 (B,) arrays whose
+    downloads the tunneled runtime serializes (~141 ms each, profiled
+    round 4) — one (n+1,) buffer per batch removes all but one round-trip.
+    """
+    valid = metrics["valid"].astype(jnp.float32)
+    names = sorted(k for k in metrics if k != "valid")
+    return jnp.stack(
+        [jnp.sum(metrics[k].astype(jnp.float32) * valid) for k in names]
+        + [jnp.sum(valid)]
+    )
+
+
+def _accumulate_reduced(metrics, sums: dict, count: float) -> float:
+    """Fetch the device-reduced vector and fold it into (sums, count)."""
+    names = sorted(k for k in metrics if k != "valid")
+    vec = np.asarray(jax.device_get(_device_reduce(metrics)))
+    for name, total in zip(names, vec[:-1]):
+        sums[name] = sums.get(name, 0.0) + float(total)
+    return count + float(vec[-1])
+
+
 def make_eval_step(config: TrainConfig):
     """Jitted per-batch eval: returns per-user metric arrays + rec ids.
 
@@ -150,15 +176,7 @@ class ShardedEvaluator:
                 params, table_sharded, items_sharded, hw, hf, tg, nt,
                 num_items=self.num_items,
             )
-            metrics = jax.device_get(metrics)
-            valid = np.asarray(metrics["valid"], np.float32)
-            count += float(valid.sum())
-            for name, values in metrics.items():
-                if name == "valid":
-                    continue
-                sums[name] = sums.get(name, 0.0) + float(
-                    np.sum(np.asarray(values) * valid)
-                )
+            count = _accumulate_reduced(metrics, sums, count)
         denom = max(count, 1.0)
         return {f"{stage}/{k}": v / denom for k, v in sums.items()}
 
@@ -207,15 +225,7 @@ class Evaluator:
         for lo in range(0, u, b):
             hw, hf, tg, nt = arrays.batch(lo, min(lo + b, u), b)
             metrics = self._eval_step(params, item_table, items, hw, hf, tg, nt)
-            metrics = jax.device_get(metrics)  # ONE host transfer per batch
-            valid = np.asarray(metrics["valid"], np.float32)
-            count += float(valid.sum())
-            for name, values in metrics.items():
-                if name == "valid":
-                    continue
-                sums[name] = sums.get(name, 0.0) + float(
-                    np.sum(np.asarray(values) * valid)
-                )
+            count = _accumulate_reduced(metrics, sums, count)
         denom = max(count, 1.0)
         return {f"{stage}/{k}": v / denom for k, v in sums.items()}
 

@@ -90,7 +90,13 @@ def _maybe_tensorboard(log_dir: pathlib.Path):
     except Exception:  # noqa: BLE001 — any import failure disables TB
         return None
     try:
-        return SummaryWriter(str(log_dir / "tb"))
+        # defaults (max_queue=10, flush_secs=120) BLOCK add_scalar when the
+        # background writer thread is GIL-starved by the sampling/dispatch
+        # threads — profiled at 96 s of a 186 s quality run (round 4).  A
+        # deep queue + flush-on-close makes logging non-blocking; events
+        # drain opportunistically and at close().
+        return SummaryWriter(str(log_dir / "tb"), max_queue=100_000,
+                             flush_secs=86_400)
     except Exception:  # noqa: BLE001
         return None
 

@@ -78,6 +78,7 @@ class Trainer:
         # verdict #3: the end-to-end-vs-device-rate gap must be a measured
         # table, not prose.
         self.phase_seconds: dict[str, float] = self._fresh_phases()
+        self.epoch_walls: list[float] = []
 
     @staticmethod
     def _fresh_phases() -> dict[str, float]:
@@ -85,7 +86,8 @@ class Trainer:
             k: 0.0
             for k in (
                 "host_sample", "queue_wait", "upload", "dispatch", "log",
-                "validate", "checkpoint",
+                "tail_dispatch", "epoch_wall", "validate", "checkpoint",
+                "final_checkpoint",
             )
         }
 
@@ -215,6 +217,7 @@ class Trainer:
         root_key = jax.random.key(cfg.seed)
         t_start = time.time()
         self.phase_seconds = self._fresh_phases()
+        self.epoch_walls = []
         examples = 0
         stop = False
         epoch = 0
@@ -294,9 +297,16 @@ class Trainer:
         try:
             for epoch in range(cfg.max_epochs):
                 if cfg.steps_per_dispatch > 1:
+                    t_ep = time.perf_counter()
                     stop, examples = self._run_epoch_scanned(
                         epoch, root_key, t_start, examples
                     )
+                    dt_ep = time.perf_counter() - t_ep
+                    self.phase_seconds["epoch_wall"] += dt_ep
+                    # per-epoch walls separate warmup (epoch 0 absorbs the
+                    # async compiles / executable cache loads of every
+                    # program variant) from the steady state
+                    self.epoch_walls.append(round(dt_ep, 2))
                 else:
                     stop, examples = self._run_epoch(
                         epoch, root_key, t_start, examples
@@ -337,6 +347,7 @@ class Trainer:
                 jax.profiler.stop_trace()
 
         if not cfg.checkpoint_every_epoch:
+            t_ck = time.time()
             ckpt_lib.save_checkpoint(
                 pathlib.Path(cfg.ckpt_dir) / "last",
                 self.state,
@@ -344,8 +355,10 @@ class Trainer:
                 metrics=last_val,
                 backend=cfg.checkpoint_backend,
             )
+            self.phase_seconds["final_checkpoint"] += time.time() - t_ck
             if best_device_state is not None:
                 state, best_epoch, best_val = best_device_state
+                t_ck = time.time()
                 ckpt_lib.save_checkpoint(
                     best_ckpt,
                     state,
@@ -353,6 +366,7 @@ class Trainer:
                     metrics=best_val,
                     backend=cfg.checkpoint_backend,
                 )
+                self.phase_seconds["final_checkpoint"] += time.time() - t_ck
                 self.state = state
 
         # restore best weights (parity: Lightning ckpt_path="best")
@@ -528,13 +542,12 @@ class Trainer:
                 self._host_step += n_steps
                 if self._host_step // k % max(cfg.log_every_n_steps // k, 1) == 0:
                     t0 = time.perf_counter()
-                    # ONE batched device_get: per-key np.asarray fetches
-                    # were N sequential tunnel round-trips (~31 ms each) per
-                    # logging event (round-4 attribution finding)
-                    host_logs = jax.device_get(logs)
-                    means = {
-                        key: float(np.mean(v)) for key, v in host_logs.items()
-                    }
+                    # ONE buffer, ONE download: jax.device_get of a dict
+                    # fetches leaf-by-leaf — ~25 sequential tunnel
+                    # round-trips (~141 ms each, profiled round 4) per
+                    # logging event.  Stacking device-side costs one tiny
+                    # async concat and downloads a single (n_keys, k) buffer.
+                    means = self._fetch_log_means(logs)
                     means["train/examples_per_s"] = examples / max(
                         time.time() - t_start, 1e-9
                     )
@@ -557,6 +570,7 @@ class Trainer:
                     if self.mesh is not None
                     else self.model.item_table
                 )
+                t0 = time.perf_counter()
                 for batch in payload:
                     step_key = jax.random.fold_in(root_key, self._host_step)
                     if self.mesh is not None:
@@ -570,6 +584,7 @@ class Trainer:
                     )
                     examples += batch["history_item_idx"].shape[0]
                     self._host_step += 1
+                phases["tail_dispatch"] += time.perf_counter() - t0
             if (
                 self._midepoch_validate is not None
                 and cfg.val_check_interval > 0
@@ -582,6 +597,25 @@ class Trainer:
                 return True, examples
             if time.time() - t_start > cfg.max_time_seconds:
                 return True, examples
+
+    @staticmethod
+    def _fetch_log_means(logs: dict) -> dict[str, float]:
+        """Per-key means of a dict of device arrays with ONE host transfer
+        (uniform shapes stack into a single buffer; mixed shapes fall back
+        to a per-leaf device_get)."""
+        import jax.numpy as jnp
+
+        keys = sorted(logs)
+        shapes = {getattr(logs[key], "shape", ()) for key in keys}
+        if len(shapes) == 1:
+            stacked = jax.device_get(
+                jnp.stack([jnp.asarray(logs[key], jnp.float32) for key in keys])
+            )
+            return {
+                key: float(np.mean(row)) for key, row in zip(keys, stacked)
+            }
+        host = jax.device_get(logs)
+        return {key: float(np.mean(host[key])) for key in keys}
 
     # -- eval ----------------------------------------------------------------
 
