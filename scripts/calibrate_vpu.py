@@ -71,19 +71,23 @@ def time_chain(mix: str, iters: int) -> float:
         jnp.asarray(rng.random(SHAPE, np.float32) + 0.5).block_until_ready()
         for _ in range(REPS + DISCARD)
     ]
-    vpu_chain(starts[0], iters=iters, mix=mix,
-              interpret=INTERPRET).block_until_ready()
+    warm = vpu_chain(starts[0], iters=iters, mix=mix, interpret=INTERPRET)
+    float(jax.device_get(warm.ravel()[0]))
     times = []
     for r in range(REPS + DISCARD):
         x = starts[r]
         t0 = time.perf_counter()
         for _ in range(CALLS):
             x = vpu_chain(x, iters=iters, mix=mix, interpret=INTERPRET)
-        x.block_until_ready()
+        # VALUE-gate every window: block_until_ready can return before
+        # execution over the tunnel for some programs (BASELINE.md hygiene
+        # lesson #4) — this script's original block_until_ready windows
+        # produced the 0.03-ms "K_LO folds" the round-4 per-point gate
+        # caught; only a scalar download provably waits
+        float(jax.device_get(x.ravel()[0]))
         dt = (time.perf_counter() - t0) / CALLS
         if r >= DISCARD:
             times.append(dt)
-    float(x[0, 0])  # consume
     return float(np.median(times))
 
 
@@ -96,13 +100,23 @@ def main() -> None:
         t_hi = time_chain(mix, K_HI)
         marginal_ops = elems * (K_HI - K_LO) * ops
         eops_per_ms = marginal_ops / ((t_hi - t_lo) * 1e3)
-        # plausibility gate (round-3 advisor finding): a compiler that
-        # algebraically folds the chain makes t_hi - t_lo ~ 0 and the fitted
-        # "throughput" goes astronomically high (or negative).  v5e's VPU
-        # peak is ~3.9 G lane-ops/ms (4x (8,128) VPUs @ ~0.94 GHz); anything
-        # past 1.5x that, or a non-positive slope, means the chain collapsed
-        # and the number must not be published.
-        if not (0.0 < eops_per_ms / 1e9 < 6.0):
+        # plausibility gate (round-3 advisor finding, hardened round 4):
+        # v5e's VPU peak is ~3.9 G lane-ops/ms (4x (8,128) VPUs @
+        # ~0.94 GHz).  Gate EVERY timed point, not just the slope — the
+        # min-clamp fma variant folded at K_LO only (0.04 ms for a
+        # 6.4 G-op chain = 161 G/ms) while its slope accidentally looked
+        # plausible; a single folded endpoint silently biases the fit.
+        ceiling = 6.0e9  # ~1.5x theoretical peak, in elemops/ms
+        for label, t, k in (("K_LO", t_lo, K_LO), ("K_HI", t_hi, K_HI)):
+            implied = elems * k * ops / (t * 1e3)
+            if implied > ceiling:
+                msg = (
+                    f"VPU calibration mix={mix}: the {label} point implies "
+                    f"{implied / 1e9:.1f} G elemops/ms (> physical ceiling) "
+                    f"— the chain folded at {label}. Refusing to publish."
+                )
+                raise SystemExit(msg)
+        if not (0.0 < eops_per_ms < ceiling):
             msg = (
                 f"VPU calibration for mix={mix} is implausible "
                 f"({eops_per_ms / 1e9:.2f} G elemops/ms; t_lo={t_lo*1e3:.3f} ms, "

@@ -129,21 +129,22 @@ class TestEncodeSpanAmortization:
 
 
 class TestFmaChainNonAffine:
-    def test_clamp_binds_on_operating_domain(self):
-        """calibrate_vpu.py feeds inputs in [0.5, 1.5): the min-clamp must
-        bind for some lanes and not others (genuinely data-dependent), so no
-        affine closed form of the chain exists for the compiler to fold."""
+    def test_quadratic_map_stays_bounded_and_varies(self):
+        """calibrate_vpu.py feeds inputs in [0.5, 1.5): the damped logistic
+        body must keep iterates in (0, 1.001) and produce data-dependent
+        values (distinct inputs -> distinct outputs) — and, unlike both
+        folded predecessors (|x*a-b| and min(x*a+b, 1)), its composition
+        has no affine-with-clamp closed form the compiler can collapse."""
         from transformer_recommenders_tpu.ops.vpu_calibration import reference_chain
 
         rng = np.random.default_rng(0)
         x = rng.random((64, 64), np.float32) + 0.5
         out = np.asarray(reference_chain(x, iters=16, mix="fma"))
-        # lanes above 1.0 clamp to exactly 1.0; lanes below grow slightly
-        assert np.any(out == np.float32(1.0))
-        assert np.any(out < np.float32(1.0))
-        # and the below-1 lanes are NOT the affine map a^k x + ... of any
-        # single k: values that crossed 1.0 mid-chain got pinned
-        assert out.max() == np.float32(1.0)
+        assert np.all(out > 0.0)
+        assert np.all(out < 1.001)
+        # quadratic convergence toward the damped fixed point, but after
+        # only 16 iterations distinct inputs are still distinguishable
+        assert len(np.unique(out)) > 1
 
     def test_kernel_matches_oracle_interpret(self):
         import jax.numpy as jnp

@@ -10,12 +10,17 @@ load/store cost — the slope IS the per-element-op cost.
 
 Op mixes (chosen to bracket what the fused layer/loss kernels execute):
 
-- ``fma``    — ``min(x*a + b, 1.0)``: 3 element-ops/iter.  The clamp is
-  genuinely non-affine ON THE OPERATING DOMAIN (inputs straddle 1.0, so
-  the min binds for some lanes and not others every iteration), unlike
-  the earlier ``|x*a - b|`` whose abs was value-invisible on the positive
-  domain and only *happened* not to be folded at long chains (round-3
-  advisor finding).
+- ``fma``    — ``0.999 * x * (2 - x)``: 3 element-ops/iter (sub + two
+  muls).  Lesson history: ``|x*a - b|`` was value-invisible on the
+  positive domain (round-3 advisor finding), and the round-4 first fix
+  ``min(x*a + b, 1)`` STILL folded — min/max against a constant
+  distributes through affine maps (``min(u,c)*a+b = min(ua+b, ca+b)``),
+  so the whole chain collapses to one fma + one min (measured: K=4096 in
+  0.04 ms).  A quadratic map has no such closed form — composing it
+  squares the polynomial degree — and the damping keeps iterates in
+  (0, 1.001) forever.  ``calibrate_vpu.py`` additionally gates EVERY
+  timed point (not just the slope) against the physical throughput
+  ceiling, so any future fold fails loudly.
 - ``exp``    — ``exp(x*s)``: 1 transcendental + 1 mul/iter; softmax cost.
 - ``select`` — compare + select + mul + add: 4 element-ops/iter; the
   masking/dropout pattern.
@@ -43,11 +48,10 @@ def _chain_kernel(x_ref, o_ref, *, iters: int, mix: str):
     x = x_ref[...]
 
     def body_fma(x):
-        # a pure x*a+b chain is a single affine map the compiler may
-        # collapse (observed: K=2048 returned in 14 us — folded).  The
-        # clamp makes the composition non-affine for REAL: inputs straddle
-        # 1.0, so min binds per-lane per-iteration and no closed form exists
-        return jnp.minimum(x * 1.0000001 + 1e-7, 1.0)
+        # damped logistic map: genuinely non-foldable (composition squares
+        # the polynomial degree — see module docstring for the two folded
+        # predecessors) and bounded: x in (0, 1.001) maps into itself
+        return jnp.float32(0.999) * x * (2.0 - x)
 
     def body_exp(x):
         # keep the operand bounded: x stays ~= 1.0 forever
@@ -87,8 +91,7 @@ def reference_chain(x: jax.Array, *, iters: int, mix: str = "fma") -> jax.Array:
     x = np.asarray(x, np.float32)
     for _ in range(iters):
         if mix == "fma":
-            x = np.minimum(x * np.float32(1.0000001) + np.float32(1e-7),
-                           np.float32(1.0))
+            x = np.float32(0.999) * x * (np.float32(2.0) - x)
         elif mix == "exp":
             x = np.exp(x * np.float32(1e-8), dtype=np.float32)
         else:
