@@ -95,3 +95,37 @@ def test_package_import_does_not_initialize_backend():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "clean" in out.stdout
+
+
+def test_two_stage_topk_matches_direct_at_batch1():
+    """The batch-1 two-stage blocked top-k (ops/topk._two_stage_topk) must
+    be EXACTLY the direct lax.top_k result — same items, same scores —
+    including with exclusions (round-4 single-query latency gate)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from transformer_recommenders_tpu.ops import topk as T
+
+    rng = np.random.default_rng(7)
+    n, d, k = 8192, 32, 64
+    items = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(1, d)).astype(np.float32))
+    exclude = jnp.asarray(
+        rng.integers(1, n + 1, size=(1, 17)).astype(np.int32)
+    )
+    # the gate needs n >= blocks * k * 4 = 4096 at k=64 -> n=8192 takes
+    # the two-stage path at batch 1; batch 2 takes the direct path
+    scores2, idx2 = T.topk_items(q, items, k, exclude_idx=exclude)
+    direct = jax.lax.top_k(
+        T.mask_excluded(T.score_items(q, items), exclude), k
+    )
+    np.testing.assert_array_equal(np.asarray(idx2), np.asarray(direct[1]) + 1)
+    np.testing.assert_allclose(np.asarray(scores2), np.asarray(direct[0]))
+    # excluded ids never appear
+    assert not set(np.asarray(idx2).ravel()) & set(np.asarray(exclude).ravel())
+    # batched queries agree row-wise with single-query results
+    qb = jnp.concatenate([q, q], axis=0)
+    sb, ib = T.topk_items(qb, items, k)
+    s1, i1 = T.topk_items(q, items, k)
+    np.testing.assert_array_equal(np.asarray(ib[0]), np.asarray(i1[0]))

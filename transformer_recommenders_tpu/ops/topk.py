@@ -77,6 +77,33 @@ def mask_excluded(scores: jax.Array, exclude_idx: jax.Array) -> jax.Array:
     return scores.at[rows, cols].set(_NEG_INF, mode="drop")
 
 
+_TWO_STAGE_BLOCKS = 16
+
+
+def _two_stage_topk(scores: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """Exact blocked top-k: per-block top-k then a merge top-k.
+
+    At batch 1 ``lax.top_k`` over the full 62k-column row is the latency
+    (~0.85 of 0.91 ms); 16 parallel 3.9k-column top-ks + a 1600-column
+    merge measure 0.780 vs 0.908 ms (round 4, value-gated windows).  The
+    result is EXACT: every global top-k element is a top-k element of its
+    block (k candidates kept per block).  Loses at every batch >= 2
+    (batch 2: 1.22 vs 0.95 ms — the blocked form adds work per row and
+    only helps when a single row underfills the chip), so the caller
+    gates on the STATIC batch size.
+    """
+    u, n = scores.shape
+    nb = _TWO_STAGE_BLOCKS
+    pad = (-n) % nb
+    sp = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=_NEG_INF)
+    blk = sp.reshape(u, nb, sp.shape[1] // nb)
+    sc1, ix1 = jax.lax.top_k(blk, k)  # (u, nb, k)
+    base = (jnp.arange(nb) * (sp.shape[1] // nb))[None, :, None]
+    cand_ix = (ix1 + base).reshape(u, nb * k)
+    top_scores, ix2 = jax.lax.top_k(sc1.reshape(u, nb * k), k)
+    return top_scores, jnp.take_along_axis(cand_ix, ix2, axis=1)
+
+
 def topk_items(
     queries: jax.Array,
     item_embeddings: jax.Array,
@@ -98,5 +125,11 @@ def topk_items(
     )
     if exclude_idx is not None:
         scores = mask_excluded(scores, exclude_idx)
-    top_scores, top_cols = jax.lax.top_k(scores, k)
+    n = scores.shape[-1]
+    if scores.shape[0] == 1 and n >= _TWO_STAGE_BLOCKS * k * 4:
+        # single-query serving latency: the blocked form wins ~14% there
+        # and ONLY there (static-shape gate — see _two_stage_topk)
+        top_scores, top_cols = _two_stage_topk(scores, k)
+    else:
+        top_scores, top_cols = jax.lax.top_k(scores, k)
     return top_scores, (top_cols + 1).astype(jnp.int32)
