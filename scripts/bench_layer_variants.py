@@ -299,6 +299,30 @@ def patch_attn_bwd_nocombine():
     return {"_attention_wide_packed_bwd": _nc_bwd}
 
 
+def patch_ln_fwd_passthrough():
+    """Both forward LNs -> affine-only (skip mean/var/rsqrt): bounds the
+    LN statistics cost in fwd AND the bwd recompute."""
+
+    def _lf(h32, scale, bias, eps):
+        n = h32  # wrong on purpose (timing-only)
+        return n * scale + bias, n, jnp.ones_like(h32[..., :1])
+
+    return {"_ln_fwd": _lf}
+
+
+def patch_gelu_identity():
+    """gelu -> identity (erf path untouched elsewhere): bounds the whole
+    gelu section (erf poly + mul tree) in fwd + recompute."""
+
+    def _g(u, erf_u=None):
+        return u
+
+    def _e(x):
+        return x
+
+    return {"_gelu": _g, "_erf": _e}
+
+
 def patch_ln_bwd_skip():
     """LN backward -> passthrough: bounds both _ln_bwd calls."""
 
@@ -324,6 +348,8 @@ VARIANTS = {
     "baseline": patch_none,
     "unpacked": patch_unpacked,
     "exact_recompute_erf": patch_exact_recompute_erf,
+    "ln_fwd_passthrough": patch_ln_fwd_passthrough,
+    "gelu_identity": patch_gelu_identity,
     "erf_cheap": patch_erf_cheap,
     "gelu_grad_noexp": patch_gelu_grad_noexp,
     "attn_bwd_skip": patch_attn_bwd_skip,
