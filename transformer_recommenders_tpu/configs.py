@@ -103,9 +103,12 @@ class ModelConfig(pydantic.BaseModel):
     # config-#4 shape — the probs staging DMAs overlap compute, so the
     # serial recompute never pays
     # jax.checkpoint each encoder layer: recompute in backward instead of
-    # saving attention/FFN residuals.  Off by default (measured 25% SLOWER
-    # at the flagship size on v5e — recompute exceeds the saved traffic);
-    # useful for memory-bound deep/long-sequence configs
+    # saving attention/FFN residuals.  Off by default — measured SLOWER at
+    # BOTH benchmark shapes on v5e (flagship seq-32: +25%; config-#4
+    # seq-128: 6.54 -> 7.75 ms/step, round 4): the residual-staging DMAs
+    # overlap compute (the config-4 xplane shows ~4x DMA overlap), so the
+    # serial recompute never pays.  Kept for genuinely memory-CAPACITY-
+    # bound configs (very deep / very long sequences)
     remat_layers: bool = False
 
     pretrained_model_name: str = PRETRAINED_MODEL_NAME
