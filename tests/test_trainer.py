@@ -199,3 +199,25 @@ def test_predict_output_parquet(tmp_path, trainer):
     assert {"user_id", "item_ids", "scores"} <= set(df.columns)
     assert len(df) > 0
     assert len(df.iloc[0]["item_ids"]) == 10
+
+
+def test_fit_phase_attribution_populated(trainer):
+    """fit() accounts per-phase wall time (round-4 verdict #3): the phase
+    dict carries every key, epoch walls are recorded, and the accounted
+    epoch phases are consistent (children never exceed epoch_wall)."""
+    ph = trainer.phase_seconds
+    for key in ("host_sample", "queue_wait", "upload", "dispatch", "log",
+                "tail_dispatch", "epoch_wall", "validate", "checkpoint",
+                "final_checkpoint"):
+        assert key in ph
+        assert ph[key] >= 0.0
+    # the scanned path ran (steps_per_dispatch default > 1 in the fixture
+    # config only if set; epoch walls exist whenever the scanned path ran)
+    if trainer.config.steps_per_dispatch > 1:
+        assert len(trainer.epoch_walls) >= 1
+        in_epoch = sum(
+            ph[k]
+            for k in ("queue_wait", "upload", "dispatch", "log", "tail_dispatch")
+        )
+        assert in_epoch <= ph["epoch_wall"] + 0.5
+    assert ph["validate"] > 0.0  # at least one epoch-end validation ran
