@@ -30,6 +30,29 @@ def test_deploy_smoke(service):
     deploy_mod.test_queries(service)
 
 
+def test_search_item_text(service, client):
+    # synthetic item texts are '{"title":"Movie K (YYYY)","genres":[...]}';
+    # pick a year token unique to one item and check lexical rank + exclusion
+    texts = service.item_index.index.store.records["item_text"]
+    import json as _json
+
+    title0 = _json.loads(texts.iloc[0])["title"]  # e.g. "Movie 1 (1990)"
+    year = title0.split("(")[1].strip(")")
+    resp = client.post("search_item_text", {"text": f"movie {year}", "top_k": 5})
+    assert resp.ok
+    recs = resp.json()
+    assert recs, "lexical search over item_text returned nothing"
+    assert all(set(r) == {"item_id", "item_text", "score"} for r in recs)
+    assert year in recs[0]["item_text"]
+    top_id = recs[0]["item_id"]
+    resp2 = client.post(
+        "search_item_text",
+        {"text": f"movie {year}", "top_k": 5, "exclude_item_ids": [top_id]},
+    )
+    assert resp2.ok
+    assert all(r["item_id"] != top_id for r in resp2.json())
+
+
 def test_recommend_with_query_item_ids(service, client):
     item_id = service.item_index.index.store.records["item_id"].iloc[0]
     resp = client.post(

@@ -23,6 +23,10 @@ import pandas as pd
 
 from transformer_recommenders_tpu.configs import IndexConfig
 from transformer_recommenders_tpu.index.store import RecordStore
+from transformer_recommenders_tpu.index.text_index import (
+    BM25TextIndex,
+    search_text_rows,
+)
 from transformer_recommenders_tpu.ops.topk import topk_items
 
 
@@ -32,6 +36,7 @@ class DeviceIndex:
         self.mesh = mesh
         self.store: RecordStore | None = None
         self.embeddings = None  # (N, D) device array (or sharded)
+        self._text_index: BM25TextIndex | None = None
         self._num_items = 0
         import functools
         import jax
@@ -76,6 +81,7 @@ class DeviceIndex:
                 ).astype(np.float32)
         store_cols = [c for c in records.columns if c != self.config.embedding_col]
         self.store = RecordStore(records[store_cols], self.config.id_col)
+        self._text_index = None  # stale postings never outlive a re-index
 
         if self.config.embedding_col and embeddings is not None:
             self._num_items = len(embeddings)
@@ -149,6 +155,35 @@ class DeviceIndex:
             out.append(row)
         return out
 
+    def search_text(
+        self,
+        text: str,
+        exclude_item_ids: list[str] | None = None,
+        top_k: int = 20,
+    ) -> list[dict[str, Any]]:
+        """BM25 full-text search over ``text_col`` (parity:
+        ``create_fts_index``, ``xfmr_rec/index.py:185``).  Host-side even
+        on this backend: lexical scoring is sparse string work the MXU
+        cannot accelerate (see ``index/text_index.py``)."""
+        assert self.store is not None
+        return search_text_rows(
+            self.store, self._ensure_text_index(), text, exclude_item_ids, top_k
+        )
+
+    def _ensure_text_index(self) -> BM25TextIndex:
+        """Built lazily so the training loop's per-validation re-index
+        never pays for postings nothing queries."""
+        if self._text_index is None:
+            assert self.store is not None
+            texts = (
+                self.store.records[self.config.text_col].astype(str).tolist()
+                if self.config.text_col in self.store.records.columns
+                else [""] * len(self.store)
+            )
+            self._text_index = BM25TextIndex()
+            self._text_index.build(texts)
+        return self._text_index
+
     def get_ids(self, ids: list[str]) -> list[dict[str, Any]]:
         assert self.store is not None
         return self.store.get_ids(ids)
@@ -169,6 +204,8 @@ class DeviceIndex:
         (path / "config.json").write_text(self.config.model_dump_json(indent=2))
         if self.embeddings is not None:
             np.save(path / "embeddings.npy", np.asarray(self.embeddings)[: self._num_items])
+        if self.config.text_col in self.store.records.columns:
+            self._ensure_text_index().save(path)
 
     @classmethod
     def load(cls, config: IndexConfig, *, mesh=None) -> DeviceIndex:
@@ -185,5 +222,6 @@ class DeviceIndex:
         emb_file = path / "embeddings.npy"
         embeddings = np.load(emb_file) if emb_file.exists() else None
         self.index_data(records, embeddings=embeddings)
+        self._text_index = BM25TextIndex.load(path)  # None -> lazy rebuild
         return self
 

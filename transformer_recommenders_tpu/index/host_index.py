@@ -17,6 +17,10 @@ import pandas as pd
 
 from transformer_recommenders_tpu.configs import IndexConfig
 from transformer_recommenders_tpu.index.store import RecordStore
+from transformer_recommenders_tpu.index.text_index import (
+    BM25TextIndex,
+    search_text_rows,
+)
 
 
 class HostIndex:
@@ -25,6 +29,7 @@ class HostIndex:
         self.store: RecordStore | None = None
         self.embeddings: np.ndarray | None = None
         self._normed: np.ndarray | None = None
+        self._text_index: BM25TextIndex | None = None
 
     def index_data(
         self,
@@ -43,6 +48,7 @@ class HostIndex:
                 ).astype(np.float32)
         store_cols = [c for c in records.columns if c != self.config.embedding_col]
         self.store = RecordStore(records[store_cols], self.config.id_col)
+        self._text_index = None  # stale postings never outlive a re-index
         if embeddings is not None:
             self.embeddings = embeddings.astype(np.float32)
             norms = np.linalg.norm(self.embeddings, axis=1, keepdims=True)
@@ -76,6 +82,33 @@ class HostIndex:
             out.append(row)
         return out
 
+    def search_text(
+        self,
+        text: str,
+        exclude_item_ids: list[str] | None = None,
+        top_k: int = 20,
+    ) -> list[dict[str, Any]]:
+        """BM25 full-text search over ``text_col`` (parity:
+        ``create_fts_index``, ``xfmr_rec/index.py:185``)."""
+        assert self.store is not None
+        return search_text_rows(
+            self.store, self._ensure_text_index(), text, exclude_item_ids, top_k
+        )
+
+    def _ensure_text_index(self) -> BM25TextIndex:
+        """Built lazily so the training loop's per-validation re-index
+        never pays for postings nothing queries."""
+        if self._text_index is None:
+            assert self.store is not None
+            texts = (
+                self.store.records[self.config.text_col].astype(str).tolist()
+                if self.config.text_col in self.store.records.columns
+                else [""] * len(self.store)
+            )
+            self._text_index = BM25TextIndex()
+            self._text_index.build(texts)
+        return self._text_index
+
     def get_ids(self, ids: list[str]) -> list[dict[str, Any]]:
         assert self.store is not None
         return self.store.get_ids(ids)
@@ -92,6 +125,8 @@ class HostIndex:
         (path / "config.json").write_text(self.config.model_dump_json(indent=2))
         if self.embeddings is not None:
             np.save(path / "embeddings.npy", self.embeddings)
+        if self.config.text_col in self.store.records.columns:
+            self._ensure_text_index().save(path)
 
     @classmethod
     def load(cls, config: IndexConfig) -> HostIndex:
@@ -106,4 +141,5 @@ class HostIndex:
         emb_file = path / "embeddings.npy"
         embeddings = np.load(emb_file) if emb_file.exists() else None
         self.index_data(records, embeddings=embeddings)
+        self._text_index = BM25TextIndex.load(path)  # None -> lazy rebuild
         return self

@@ -1,0 +1,191 @@
+"""Host-side BM25 full-text index over a record text column.
+
+The reference's LanceIndex creates a full-text-search index over the
+configured text column at indexing time (``xfmr_rec/index.py:185``,
+``create_fts_index(text_col)`` — LanceDB's Tantivy-backed BM25) and
+documents itself as an index "for fast vector and text search"
+(``xfmr_rec/index.py:52``).  This is the equivalent here: a
+dependency-free Okapi BM25 (k1=1.2, b=0.75, the Tantivy/Lucene defaults)
+over the same text column, built from the same records and saved inside
+the same table artifact.
+
+Text search is deliberately host-side: it is string processing plus a
+sparse accumulate over a few posting lists — work the MXU/VPU cannot
+accelerate and that would waste a device program.  Postings are stored
+CSR-style (one ``indptr`` over terms, flat ``doc_ids``/``tfs`` arrays) so
+scoring a query is a handful of vectorized ``np.add.at`` scatters.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import re
+
+import numpy as np
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+# Tantivy/Lucene defaults, which is what the reference's
+# ``create_fts_index`` ships with.
+K1 = 1.2
+B = 0.75
+
+
+def tokenize(text: str) -> list[str]:
+    """Lowercased alphanumeric tokens (the Tantivy ``default`` analyzer's
+    simple-tokenizer + lowercase filter, minus stemming)."""
+    return _TOKEN_RE.findall(text.lower())
+
+
+class BM25TextIndex:
+    """Okapi BM25 over a fixed corpus; document handles are ROW POSITIONS
+    (aligned with ``RecordStore`` rows), not ids — the owning index maps
+    positions back to payloads exactly as it does for vector search."""
+
+    def __init__(self, *, k1: float = K1, b: float = B) -> None:
+        self.k1 = float(k1)
+        self.b = float(b)
+        self._terms: list[str] = []
+        self._term_pos: dict[str, int] = {}
+        self._indptr = np.zeros(1, np.int64)  # (T + 1,) into doc_ids/tfs
+        self._doc_ids = np.zeros(0, np.int32)
+        self._tfs = np.zeros(0, np.float32)
+        self._doc_len = np.zeros(0, np.float32)
+        self._avg_len = 1.0
+
+    @property
+    def num_docs(self) -> int:
+        return len(self._doc_len)
+
+    def build(self, texts: list[str]) -> None:
+        term_pos: dict[str, int] = {}
+        # per-term postings accumulated as parallel lists, then packed CSR
+        post_docs: list[list[int]] = []
+        post_tfs: list[list[int]] = []
+        doc_len = np.zeros(len(texts), np.float32)
+        for doc, text in enumerate(texts):
+            tokens = tokenize(text)
+            doc_len[doc] = len(tokens)
+            counts: dict[str, int] = {}
+            for tok in tokens:
+                counts[tok] = counts.get(tok, 0) + 1
+            for tok, tf in counts.items():
+                tid = term_pos.get(tok)
+                if tid is None:
+                    tid = term_pos[tok] = len(post_docs)
+                    post_docs.append([])
+                    post_tfs.append([])
+                post_docs[tid].append(doc)
+                post_tfs[tid].append(tf)
+        self._term_pos = term_pos
+        self._terms = list(term_pos)
+        lengths = np.fromiter(
+            (len(p) for p in post_docs), np.int64, count=len(post_docs)
+        )
+        self._indptr = np.concatenate([[0], np.cumsum(lengths)])
+        self._doc_ids = np.fromiter(
+            (d for p in post_docs for d in p), np.int32, count=int(lengths.sum())
+        )
+        self._tfs = np.fromiter(
+            (t for p in post_tfs for t in p), np.float32, count=int(lengths.sum())
+        )
+        self._doc_len = doc_len
+        self._avg_len = float(doc_len.mean()) if len(texts) else 1.0
+
+    def scores(self, text: str) -> np.ndarray:
+        """BM25 score of every document against ``text`` (0 for documents
+        sharing no term with the query).  Repeated query terms count once
+        per occurrence, matching Lucene's per-clause sum."""
+        n = self.num_docs
+        scores = np.zeros(n, np.float32)
+        if n == 0:
+            return scores
+        norm = self.k1 * (1.0 - self.b + self.b * self._doc_len / self._avg_len)
+        for tok in tokenize(text):
+            tid = self._term_pos.get(tok)
+            if tid is None:
+                continue
+            lo, hi = self._indptr[tid], self._indptr[tid + 1]
+            docs = self._doc_ids[lo:hi]
+            tf = self._tfs[lo:hi]
+            df = hi - lo
+            idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            contrib = idf * tf * (self.k1 + 1.0) / (tf + norm[docs])
+            # docs are unique within one posting list, so plain fancy-index
+            # assignment would be safe too; += keeps intent obvious
+            scores[docs] += contrib.astype(np.float32)
+        return scores
+
+    def search(
+        self,
+        text: str,
+        top_k: int = 20,
+        exclude_positions: list[int] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Top-k (row position, score) pairs, zero-score rows dropped —
+        matching vector ``search``'s fewer-than-k behavior when the corpus
+        has fewer matches than ``top_k``."""
+        scores = self.scores(text)
+        for pos in exclude_positions or []:
+            if 0 <= pos < len(scores):
+                scores[pos] = 0.0
+        k = min(top_k, len(scores))
+        if k == 0:
+            return []
+        top = np.argpartition(-scores, k - 1)[:k]
+        top = top[np.argsort(-scores[top], kind="stable")]
+        return [(int(i), float(scores[i])) for i in top if scores[i] > 0.0]
+
+    # -- persistence (rides inside the owning table artifact) ----------------
+
+    def save(self, table_dir: str | pathlib.Path) -> None:
+        table_dir = pathlib.Path(table_dir)
+        table_dir.mkdir(parents=True, exist_ok=True)
+        np.savez(
+            table_dir / "fts_postings.npz",
+            indptr=self._indptr,
+            doc_ids=self._doc_ids,
+            tfs=self._tfs,
+            doc_len=self._doc_len,
+        )
+        meta = {"k1": self.k1, "b": self.b, "avg_len": self._avg_len,
+                "terms": self._terms}
+        (table_dir / "fts_meta.json").write_text(json.dumps(meta))
+
+    @classmethod
+    def load(cls, table_dir: str | pathlib.Path) -> BM25TextIndex | None:
+        table_dir = pathlib.Path(table_dir)
+        meta_path = table_dir / "fts_meta.json"
+        npz_path = table_dir / "fts_postings.npz"
+        if not (meta_path.exists() and npz_path.exists()):
+            return None
+        meta = json.loads(meta_path.read_text())
+        self = cls(k1=meta["k1"], b=meta["b"])
+        self._terms = list(meta["terms"])
+        self._term_pos = {t: i for i, t in enumerate(self._terms)}
+        self._avg_len = float(meta["avg_len"])
+        arrays = np.load(npz_path)
+        self._indptr = arrays["indptr"]
+        self._doc_ids = arrays["doc_ids"]
+        self._tfs = arrays["tfs"]
+        self._doc_len = arrays["doc_len"]
+        return self
+
+
+def search_text_rows(store, text_index: BM25TextIndex, text: str,
+                     exclude_item_ids: list[str] | None, top_k: int):
+    """Shared backend glue: run BM25 over the store's rows and return row
+    payloads + ``score``, with id exclusion semantics identical to vector
+    ``search`` (reference prefilter, ``xfmr_rec/index.py:238-246``)."""
+    exclude_positions = [
+        store._pos[i] for i in (exclude_item_ids or []) if i in store._pos
+    ]
+    out = []
+    for pos, score in text_index.search(
+        text, top_k=top_k, exclude_positions=exclude_positions
+    ):
+        row = store.row(pos)
+        row["score"] = score
+        out.append(row)
+    return out

@@ -12,7 +12,9 @@ composition and 8-API HTTP surface, on the dependency-free ASGI layer:
 - ``Service``: composite with async APIs ``recommend_with_query``,
   ``recommend_with_item_id``, ``recommend_with_user_id``, ``embed_query``,
   ``item_id``, ``user_id``, ``model_name``, ``model_version``
-  (service.py:206-315), including the query normalization chain
+  (service.py:206-315) plus ``search_item_text`` — lexical BM25 over the
+  item texts, exposing the FTS index the reference builds but never
+  routes (``xfmr_rec/index.py:185``) — including the query normalization chain
   item_ids -> input_embeds -> embedding with last-window truncation
   (service.py:226-249) and always excluding query item ids from results
   (service.py:218-221).
@@ -256,6 +258,24 @@ class ItemIndexService:
             for r in results
         ]
 
+    def search_text(
+        self,
+        text: str,
+        exclude_item_ids: list[str] | None = None,
+        top_k: int = TOP_K,
+    ) -> list[ItemCandidate]:
+        """Lexical BM25 search over ``item_text`` (the reference's FTS
+        index, ``xfmr_rec/index.py:185``)."""
+        results = self.index.search_text(
+            text, exclude_item_ids=exclude_item_ids, top_k=top_k
+        )
+        return [
+            ItemCandidate(
+                item_id=r["item_id"], item_text=r["item_text"], score=r["score"]
+            )
+            for r in results
+        ]
+
     def _attach_embedding(self, row: dict[str, Any]) -> ItemQuery:
         pos = self.index.store._pos[row["item_id"]]
         return ItemQuery(
@@ -403,6 +423,17 @@ class Service:
         )
         return await self.recommend_with_query(query)
 
+    async def search_item_text(
+        self,
+        text: str,
+        exclude_item_ids: list[str] | None = None,
+        top_k: int = TOP_K,
+    ) -> list[ItemCandidate]:
+        with trace_span("search"):
+            return self.item_index.search_text(
+                text, exclude_item_ids=exclude_item_ids, top_k=top_k
+            )
+
     async def item_id(self, item_id: str) -> ItemQuery:
         return self.item_index.get_id(item_id)
 
@@ -449,6 +480,15 @@ class Service:
             query = Query.model_validate(payload.get("query") or payload)
             query = await self.process_query(query)
             return (await self.embed_query(query)).model_dump()
+
+        @app.route("search_item_text")
+        async def _search_item_text(payload: dict):
+            recs = await self.search_item_text(
+                text=payload["text"],
+                exclude_item_ids=payload.get("exclude_item_ids"),
+                top_k=payload.get("top_k", TOP_K),
+            )
+            return [r.model_dump() for r in recs]
 
         @app.route("item_id")
         async def _item_id(payload: dict):
