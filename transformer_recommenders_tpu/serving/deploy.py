@@ -106,6 +106,13 @@ def test_queries(service: Service) -> None:
     )
     assert len(recs) == TOP_K, f"expected {TOP_K} recs, got {len(recs)}"
 
+    # lexical search: query the first item's own text back out of the
+    # BM25 index — its id must appear in the hits
+    hits = test_service(
+        service, "search_item_text", {"text": item["item_text"], "top_k": TOP_K}
+    )
+    assert any(h["item_id"] == str(first_item_id) for h in hits), hits
+
     name = test_service(service, "model_name", {})
     version = test_service(service, "model_version", {})
     assert isinstance(name, str) and isinstance(version, str)
