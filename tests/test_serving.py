@@ -53,6 +53,12 @@ def test_search_item_text(service, client):
     assert all(r["item_id"] != top_id for r in resp2.json())
 
 
+def test_search_item_text_rejects_nonpositive_top_k(client):
+    # a negative top_k must return nothing, not dump the whole catalog
+    resp = client.post("search_item_text", {"text": "movie", "top_k": -1})
+    assert resp.ok and resp.json() == []
+
+
 def test_recommend_with_query_item_ids(service, client):
     item_id = service.item_index.index.store.records["item_id"].iloc[0]
     resp = client.post(

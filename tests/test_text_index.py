@@ -53,6 +53,24 @@ def bm25_reference(texts, query, k1=1.2, b=0.75):
 def test_tokenize():
     assert tokenize("The QUICK-brown fox_42!") == ["the", "quick", "brown", "fox", "42"]
     assert tokenize("") == []
+    # Unicode alphanumerics are token chars (Tantivy simple tokenizer):
+    # an ASCII-only class would shred accented titles into junk fragments
+    assert tokenize("Amélie (2001)") == ["amélie", "2001"]
+
+
+def test_search_nonpositive_top_k_returns_nothing():
+    idx = BM25TextIndex()
+    idx.build(CORPUS)
+    # a client-supplied negative top_k must not dump the whole corpus
+    assert idx.search("fox", top_k=-1) == []
+    assert idx.search("fox", top_k=0) == []
+
+
+def test_all_empty_corpus_scores_cleanly():
+    idx = BM25TextIndex()
+    idx.build([""] * 5)  # the text_col-missing path builds exactly this
+    with np.errstate(all="raise"):
+        assert idx.search("anything", top_k=3) == []
 
 
 @pytest.mark.parametrize(
@@ -153,6 +171,39 @@ def test_backend_search_text_survives_save_load(index, tmp_path):
     assert [(r["item_id"], r["score"]) for r in got] == [
         (r["item_id"], r["score"]) for r in want
     ]
+
+
+def test_load_rejects_stale_doc_count(tmp_path):
+    idx = BM25TextIndex()
+    idx.build(CORPUS)
+    idx.save(tmp_path)
+    assert BM25TextIndex.load(tmp_path, expected_docs=len(CORPUS)) is not None
+    # postings from an earlier corpus must never be adopted for a new one
+    assert BM25TextIndex.load(tmp_path, expected_docs=len(CORPUS) + 1) is None
+
+
+def test_save_removes_stale_fts_artifacts(records, tmp_path):
+    config = IndexConfig(table_name="items", backend="host")
+    idx = HostIndex(config)
+    idx.index_data(records, embeddings=RNG.normal(size=(N, D)).astype(np.float32))
+    idx.search_text("movie")  # build postings so save persists them
+    idx.save(tmp_path)
+    table_dir = tmp_path / "items"
+    assert (table_dir / "fts_postings.npz").exists()
+    # replace the corpus with one LACKING the text column: saving to the
+    # same dir must remove the old postings, and a load must not serve them
+    textless = records[["item_id"]].iloc[:5]
+    idx.index_data(
+        textless, embeddings=RNG.normal(size=(5, D)).astype(np.float32),
+        overwrite=True,
+    )
+    idx.save(tmp_path)
+    assert not (table_dir / "fts_postings.npz").exists()
+    assert not (table_dir / "fts_meta.json").exists()
+    loaded = HostIndex.load(
+        config.model_copy(update={"index_path": str(tmp_path)})
+    )
+    assert loaded.search_text("movie 1995") == []  # empty corpus, no crash
 
 
 def test_backend_reindex_invalidates_text_index(records):

@@ -17,10 +17,8 @@ import pandas as pd
 
 from transformer_recommenders_tpu.configs import IndexConfig
 from transformer_recommenders_tpu.index.store import RecordStore
-from transformer_recommenders_tpu.index.text_index import (
-    BM25TextIndex,
-    search_text_rows,
-)
+import transformer_recommenders_tpu.index.text_index as fts
+from transformer_recommenders_tpu.index.text_index import BM25TextIndex
 
 
 class HostIndex:
@@ -91,7 +89,7 @@ class HostIndex:
         """BM25 full-text search over ``text_col`` (parity:
         ``create_fts_index``, ``xfmr_rec/index.py:185``)."""
         assert self.store is not None
-        return search_text_rows(
+        return fts.search_text_rows(
             self.store, self._ensure_text_index(), text, exclude_item_ids, top_k
         )
 
@@ -100,13 +98,7 @@ class HostIndex:
         never pays for postings nothing queries."""
         if self._text_index is None:
             assert self.store is not None
-            texts = (
-                self.store.records[self.config.text_col].astype(str).tolist()
-                if self.config.text_col in self.store.records.columns
-                else [""] * len(self.store)
-            )
-            self._text_index = BM25TextIndex()
-            self._text_index.build(texts)
+            self._text_index = fts.build_for_store(self.store, self.config.text_col)
         return self._text_index
 
     def get_ids(self, ids: list[str]) -> list[dict[str, Any]]:
@@ -127,6 +119,8 @@ class HostIndex:
             np.save(path / "embeddings.npy", self.embeddings)
         if self.config.text_col in self.store.records.columns:
             self._ensure_text_index().save(path)
+        else:
+            fts.remove_artifacts(path)  # no stale postings from a prior corpus
 
     @classmethod
     def load(cls, config: IndexConfig) -> HostIndex:
@@ -141,5 +135,6 @@ class HostIndex:
         emb_file = path / "embeddings.npy"
         embeddings = np.load(emb_file) if emb_file.exists() else None
         self.index_data(records, embeddings=embeddings)
-        self._text_index = BM25TextIndex.load(path)  # None -> lazy rebuild
+        # None (absent or doc-count mismatch with the corpus) -> lazy rebuild
+        self._text_index = BM25TextIndex.load(path, expected_docs=len(records))
         return self

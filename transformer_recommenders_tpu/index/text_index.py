@@ -24,7 +24,10 @@ import re
 
 import numpy as np
 
-_TOKEN_RE = re.compile(r"[a-z0-9]+")
+# Unicode alphanumerics minus underscore: Tantivy's simple tokenizer
+# treats any Unicode alphanumeric as a token char, so "Amélie" must stay
+# one token (an ASCII-only class would shred it into junk fragments)
+_TOKEN_RE = re.compile(r"[^\W_]+")
 
 # Tantivy/Lucene defaults, which is what the reference's
 # ``create_fts_index`` ships with.
@@ -53,6 +56,7 @@ class BM25TextIndex:
         self._tfs = np.zeros(0, np.float32)
         self._doc_len = np.zeros(0, np.float32)
         self._avg_len = 1.0
+        self._norm = np.zeros(0, np.float32)  # precomputed k1*(1-b+b*dl/avg)
 
     @property
     def num_docs(self) -> int:
@@ -91,7 +95,18 @@ class BM25TextIndex:
             (t for p in post_tfs for t in p), np.float32, count=int(lengths.sum())
         )
         self._doc_len = doc_len
-        self._avg_len = float(doc_len.mean()) if len(texts) else 1.0
+        # guard the all-empty corpus (e.g. a store without the text column):
+        # avg_len 0 would make the length norm 0/0 on every query
+        avg = float(doc_len.mean()) if len(texts) else 1.0
+        self._avg_len = avg if avg > 0 else 1.0
+        self._finalize()
+
+    def _finalize(self) -> None:
+        """Precompute the per-document length norm — build-time constant,
+        shared by every query."""
+        self._norm = (
+            self.k1 * (1.0 - self.b + self.b * self._doc_len / self._avg_len)
+        ).astype(np.float32)
 
     def scores(self, text: str) -> np.ndarray:
         """BM25 score of every document against ``text`` (0 for documents
@@ -101,7 +116,7 @@ class BM25TextIndex:
         scores = np.zeros(n, np.float32)
         if n == 0:
             return scores
-        norm = self.k1 * (1.0 - self.b + self.b * self._doc_len / self._avg_len)
+        norm = self._norm
         for tok in tokenize(text):
             tid = self._term_pos.get(tok)
             if tid is None:
@@ -131,8 +146,8 @@ class BM25TextIndex:
             if 0 <= pos < len(scores):
                 scores[pos] = 0.0
         k = min(top_k, len(scores))
-        if k == 0:
-            return []
+        if k <= 0:  # <= catches a client-supplied negative top_k, which
+            return []  # would otherwise argpartition-slice the whole corpus
         top = np.argpartition(-scores, k - 1)[:k]
         top = top[np.argsort(-scores[top], kind="stable")]
         return [(int(i), float(scores[i])) for i in top if scores[i] > 0.0]
@@ -154,7 +169,15 @@ class BM25TextIndex:
         (table_dir / "fts_meta.json").write_text(json.dumps(meta))
 
     @classmethod
-    def load(cls, table_dir: str | pathlib.Path) -> BM25TextIndex | None:
+    def load(
+        cls,
+        table_dir: str | pathlib.Path,
+        expected_docs: int | None = None,
+    ) -> BM25TextIndex | None:
+        """Open saved postings; returns None when absent OR when the saved
+        doc count disagrees with ``expected_docs`` (a stale artifact from an
+        earlier corpus must never be adopted — callers fall back to a lazy
+        rebuild from the live store)."""
         table_dir = pathlib.Path(table_dir)
         meta_path = table_dir / "fts_meta.json"
         npz_path = table_dir / "fts_postings.npz"
@@ -170,7 +193,31 @@ class BM25TextIndex:
         self._doc_ids = arrays["doc_ids"]
         self._tfs = arrays["tfs"]
         self._doc_len = arrays["doc_len"]
+        if expected_docs is not None and self.num_docs != expected_docs:
+            return None
+        self._finalize()
         return self
+
+
+def remove_artifacts(table_dir: str | pathlib.Path) -> None:
+    """Delete saved postings — called by an index save() whose current
+    corpus has no text column, so a prior corpus's files can't linger."""
+    table_dir = pathlib.Path(table_dir)
+    for name in ("fts_postings.npz", "fts_meta.json"):
+        (table_dir / name).unlink(missing_ok=True)
+
+
+def build_for_store(store, text_col: str) -> BM25TextIndex:
+    """Build postings over a RecordStore's text column (empty corpus when
+    the column is absent) — the single lazy-build path both backends share."""
+    texts = (
+        store.records[text_col].astype(str).tolist()
+        if text_col in store.records.columns
+        else [""] * len(store)
+    )
+    index = BM25TextIndex()
+    index.build(texts)
+    return index
 
 
 def search_text_rows(store, text_index: BM25TextIndex, text: str,

@@ -429,7 +429,9 @@ class Service:
         exclude_item_ids: list[str] | None = None,
         top_k: int = TOP_K,
     ) -> list[ItemCandidate]:
-        with trace_span("search"):
+        # distinct span name: "search" is the vector search; conflating the
+        # two would mix MXU and host-BM25 seconds in one metrics series
+        with trace_span("search_text"):
             return self.item_index.search_text(
                 text, exclude_item_ids=exclude_item_ids, top_k=top_k
             )
