@@ -59,6 +59,13 @@ def test_search_excludes_ids(index, embeddings):
     assert len(results) == 5  # exclusion is a prefilter: still top_k results
 
 
+def test_search_nonpositive_top_k_returns_nothing(index, embeddings):
+    # Query.top_k is client-controlled over HTTP: a negative value must
+    # return nothing, not dump the catalog (host) or crash lax.top_k (device)
+    assert index.search(embeddings[0], top_k=-1) == []
+    assert index.search(embeddings[0], top_k=0) == []
+
+
 def test_search_topk_larger_than_catalog(index, embeddings):
     results = index.search(embeddings[0], top_k=100)
     assert len(results) == N

@@ -127,6 +127,8 @@ class DeviceIndex:
         padded[0, : len(exclude_pos)] = exclude_pos
         exclude = jnp.asarray(padded)
         k = min(top_k, self._num_items)
+        if k <= 0:  # a client-supplied negative top_k would otherwise
+            return []  # reach lax.top_k with k<0 and 500 the request
         if self.mesh is not None:
             from transformer_recommenders_tpu.parallel.topk_sharded import sharded_topk
 

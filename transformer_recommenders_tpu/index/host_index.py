@@ -69,6 +69,8 @@ class HostIndex:
             if i in self.store._pos:
                 scores[self.store._pos[i]] = -np.inf
         k = min(top_k, len(scores))
+        if k <= 0:  # <= catches a client-supplied negative top_k, which
+            return []  # would otherwise argpartition-slice the whole catalog
         top = np.argpartition(-scores, k - 1)[:k]
         top = top[np.argsort(-scores[top])]
         out = []
