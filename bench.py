@@ -48,7 +48,7 @@ def _spread_pct(values: list[float]) -> float:
     return round((max(values) - min(values)) / med * 100, 1) if med else 0.0
 
 
-def bench_ours() -> float:
+def bench_ours() -> tuple[float, list[float]]:
     import jax
     import jax.numpy as jnp
 
@@ -142,7 +142,7 @@ def bench_ours() -> float:
     return eps, windows
 
 
-def bench_torch_reference() -> float:
+def bench_torch_reference() -> tuple[float, list[float]]:
     """Reference-equivalent step on torch CPU (HF BertModel, same shapes)."""
     import torch
     from transformers.models.bert import BertConfig, BertModel

@@ -10,7 +10,9 @@ section can win, BEFORE any correctness work is spent.
 Benchmark hygiene (BASELINE.md): pre-staged distinct inputs, chained
 windows, value-download gating, median over spaced windows.
 
-Usage: python scripts/bench_layer_variants.py [--shape flagship|config4]
+Usage: python scripts/bench_layer_variants.py [--shape flagship|s48]
+(seq-128 shapes: the fused path is retired above s=64, so config4/tall512
+only run the 'xla' variant -- fused variants are skipped with a note)
 """
 
 from __future__ import annotations
@@ -379,8 +381,13 @@ def main() -> None:
     for x in starts:
         x.block_until_ready()
 
+    fused_ok = shape["s"] <= 64  # fused_layer raises for s > 64 (retired)
     results = {}
     for name in args.variants.split(","):
+        if name != "xla" and not fused_ok:
+            print(f"{name:22s} skipped: fused path retired for s > 64",
+                  file=sys.stderr, flush=True)
+            continue
         if name == "xla":
             fwd_chain, fwdbwd_chain = build_xla_fns(shape, params)
             t_fwd = time_chain(fwd_chain, starts)

@@ -227,9 +227,6 @@ def main() -> None:
         del service
 
         results = {}
-        # sweep 1..n (not just the endpoints): on a small host the right
-        # worker count may be cpu_count - 1 (one core left for the client
-        # threads and the kernel) — the round-3 p95 regression question
         # arms: unpinned baseline; pinned (disjoint cores per worker);
         # eigen1 (one XLA compute thread per worker, threads float) — the
         # three candidate answers to the round-3 p95-regression question
@@ -240,6 +237,10 @@ def main() -> None:
             (f"workers={n_workers}_pinned", n_workers, True, None),
             (f"workers={n_workers}_eigen1", n_workers, False, eigen1),
         ]
+        if n_workers == 1:
+            # a 1-CPU host would alias f"workers=1" onto the baseline key
+            # and silently overwrite its measurement
+            sweep = [t for t in sweep if t[0] != "workers=1"]
         for tag, w, pin, env in sweep:
             results[tag] = _run_one(
                 str(artifact), w, args.clients, args.requests, item_ids,

@@ -340,7 +340,20 @@ def test_long_sequences_refused_and_gated_to_xla():
             x, layer, mask, num_heads=h, causal=True, ffn_dim=f,
             layer_norm_eps=cfg.layer_norm_eps, interpret=True,
         )
-    assert T._fused_layer_mode(cfg, s) is None
+    # gate check needs a 128-multiple hidden size: with d=64 the
+    # hidden_size % 128 clause short-circuits and the s-gate would be
+    # untested (the assertion would pass even if the s > 64 branch were
+    # deleted)
+    cfg_gate = ModelConfig(
+        hidden_size=128, num_hidden_layers=1, num_attention_heads=h,
+        intermediate_size=f, max_seq_length=s, compute_dtype="float32",
+    )
+    # mock a non-cpu backend so the backend clause can't mask the s-gate
+    from unittest import mock
+
+    with mock.patch.object(T.jax, "default_backend", return_value="tpu"):
+        assert T._fused_layer_mode(cfg_gate, 64) == "compiled"  # in-range
+        assert T._fused_layer_mode(cfg_gate, s) is None  # s=128 -> retired
 
 
 def test_multi_group_lane_packing_matches_xla():

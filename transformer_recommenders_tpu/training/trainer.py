@@ -298,10 +298,15 @@ class Trainer:
             for epoch in range(cfg.max_epochs):
                 if cfg.steps_per_dispatch > 1:
                     t_ep = time.perf_counter()
+                    val_before = self.phase_seconds["validate"]
                     stop, examples = self._run_epoch_scanned(
                         epoch, root_key, t_start, examples
                     )
                     dt_ep = time.perf_counter() - t_ep
+                    # mid-epoch validation runs INSIDE the epoch wall but is
+                    # already attributed to "validate" — subtract it so the
+                    # phase table sums to fit_wall instead of double-counting
+                    dt_ep -= self.phase_seconds["validate"] - val_before
                     self.phase_seconds["epoch_wall"] += dt_ep
                     # per-epoch walls separate warmup (epoch 0 absorbs the
                     # async compiles / executable cache loads of every
