@@ -119,8 +119,13 @@ class HostIndex:
         (path / "config.json").write_text(self.config.model_dump_json(indent=2))
         if self.embeddings is not None:
             np.save(path / "embeddings.npy", self.embeddings)
-        if self.config.text_col in self.store.records.columns:
-            self._ensure_text_index().save(path)
+        if (
+            self._text_index is not None
+            and self.config.text_col in self.store.records.columns
+        ):
+            # persist ONLY postings something actually queried (or loaded)
+            # — see DeviceIndex.save; loaders lazily rebuild when absent
+            self._text_index.save(path)
         else:
             fts.remove_artifacts(path)  # no stale postings from a prior corpus
 
@@ -137,6 +142,13 @@ class HostIndex:
         emb_file = path / "embeddings.npy"
         embeddings = np.load(emb_file) if emb_file.exists() else None
         self.index_data(records, embeddings=embeddings)
-        # None (absent or doc-count mismatch with the corpus) -> lazy rebuild
-        self._text_index = BM25TextIndex.load(path, expected_docs=len(records))
+        # None (absent, or doc-count/content-fingerprint mismatch with the
+        # live corpus) -> lazy rebuild
+        self._text_index = BM25TextIndex.load(
+            path,
+            expected_docs=len(records),
+            expected_fingerprint=fts.corpus_fingerprint(
+                fts.texts_for(records, merged.text_col)
+            ),
+        )
         return self

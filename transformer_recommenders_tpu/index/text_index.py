@@ -18,6 +18,8 @@ scoring a query is a handful of vectorized ``np.add.at`` scatters.
 
 from __future__ import annotations
 
+import collections
+import hashlib
 import json
 import pathlib
 import re
@@ -41,6 +43,26 @@ def tokenize(text: str) -> list[str]:
     return _TOKEN_RE.findall(text.lower())
 
 
+def corpus_fingerprint(texts: list[str]) -> str:
+    """Content hash of the corpus, stored in ``fts_meta.json`` and checked
+    on load: a doc-count match alone would let a re-indexed corpus of
+    identical size silently adopt stale postings."""
+    h = hashlib.blake2b(digest_size=16)
+    for t in texts:
+        h.update(t.encode("utf-8", "surrogatepass"))
+        h.update(b"\x1e")  # record separator: ["ab",""] != ["a","b"]
+    return h.hexdigest()
+
+
+def texts_for(records, text_col: str) -> list[str]:
+    """The corpus a records frame yields for ``text_col`` (empty strings
+    when the column is absent) — shared by build and load-validation so
+    the fingerprint always hashes exactly what build() would index."""
+    if text_col in records.columns:
+        return records[text_col].astype(str).tolist()
+    return [""] * len(records)
+
+
 class BM25TextIndex:
     """Okapi BM25 over a fixed corpus; document handles are ROW POSITIONS
     (aligned with ``RecordStore`` rows), not ids — the owning index maps
@@ -57,12 +79,14 @@ class BM25TextIndex:
         self._doc_len = np.zeros(0, np.float32)
         self._avg_len = 1.0
         self._norm = np.zeros(0, np.float32)  # precomputed k1*(1-b+b*dl/avg)
+        self._fingerprint = corpus_fingerprint([])
 
     @property
     def num_docs(self) -> int:
         return len(self._doc_len)
 
     def build(self, texts: list[str]) -> None:
+        self._fingerprint = corpus_fingerprint(texts)
         term_pos: dict[str, int] = {}
         # per-term postings accumulated as parallel lists, then packed CSR
         post_docs: list[list[int]] = []
@@ -111,13 +135,16 @@ class BM25TextIndex:
     def scores(self, text: str) -> np.ndarray:
         """BM25 score of every document against ``text`` (0 for documents
         sharing no term with the query).  Repeated query terms count once
-        per occurrence, matching Lucene's per-clause sum."""
+        per occurrence, matching Lucene's per-clause sum — the per-document
+        contribution tf*(k1+1)/(tf+norm) is identical for every occurrence,
+        so one scatter scaled by the query-term count gives the same result
+        at 1x the posting-list work."""
         n = self.num_docs
         scores = np.zeros(n, np.float32)
         if n == 0:
             return scores
         norm = self._norm
-        for tok in tokenize(text):
+        for tok, q_count in collections.Counter(tokenize(text)).items():
             tid = self._term_pos.get(tok)
             if tid is None:
                 continue
@@ -126,7 +153,7 @@ class BM25TextIndex:
             tf = self._tfs[lo:hi]
             df = hi - lo
             idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
-            contrib = idf * tf * (self.k1 + 1.0) / (tf + norm[docs])
+            contrib = q_count * idf * tf * (self.k1 + 1.0) / (tf + norm[docs])
             # docs are unique within one posting list, so plain fancy-index
             # assignment would be safe too; += keeps intent obvious
             scores[docs] += contrib.astype(np.float32)
@@ -165,7 +192,7 @@ class BM25TextIndex:
             doc_len=self._doc_len,
         )
         meta = {"k1": self.k1, "b": self.b, "avg_len": self._avg_len,
-                "terms": self._terms}
+                "fingerprint": self._fingerprint, "terms": self._terms}
         (table_dir / "fts_meta.json").write_text(json.dumps(meta))
 
     @classmethod
@@ -173,11 +200,13 @@ class BM25TextIndex:
         cls,
         table_dir: str | pathlib.Path,
         expected_docs: int | None = None,
+        expected_fingerprint: str | None = None,
     ) -> BM25TextIndex | None:
         """Open saved postings; returns None when absent OR when the saved
-        doc count disagrees with ``expected_docs`` (a stale artifact from an
-        earlier corpus must never be adopted — callers fall back to a lazy
-        rebuild from the live store)."""
+        doc count / corpus fingerprint disagrees with the caller's live
+        corpus (a stale artifact from an earlier corpus — even one of
+        identical size — must never be adopted; callers fall back to a
+        lazy rebuild from the live store)."""
         table_dir = pathlib.Path(table_dir)
         meta_path = table_dir / "fts_meta.json"
         npz_path = table_dir / "fts_postings.npz"
@@ -188,12 +217,20 @@ class BM25TextIndex:
         self._terms = list(meta["terms"])
         self._term_pos = {t: i for i, t in enumerate(self._terms)}
         self._avg_len = float(meta["avg_len"])
+        # pre-fingerprint artifacts (no "fingerprint" key) fail the content
+        # check below and are rebuilt rather than trusted
+        self._fingerprint = meta.get("fingerprint", "")
         arrays = np.load(npz_path)
         self._indptr = arrays["indptr"]
         self._doc_ids = arrays["doc_ids"]
         self._tfs = arrays["tfs"]
         self._doc_len = arrays["doc_len"]
         if expected_docs is not None and self.num_docs != expected_docs:
+            return None
+        if (
+            expected_fingerprint is not None
+            and self._fingerprint != expected_fingerprint
+        ):
             return None
         self._finalize()
         return self
@@ -210,13 +247,8 @@ def remove_artifacts(table_dir: str | pathlib.Path) -> None:
 def build_for_store(store, text_col: str) -> BM25TextIndex:
     """Build postings over a RecordStore's text column (empty corpus when
     the column is absent) — the single lazy-build path both backends share."""
-    texts = (
-        store.records[text_col].astype(str).tolist()
-        if text_col in store.records.columns
-        else [""] * len(store)
-    )
     index = BM25TextIndex()
-    index.build(texts)
+    index.build(texts_for(store.records, text_col))
     return index
 
 

@@ -80,6 +80,22 @@ def mask_excluded(scores: jax.Array, exclude_idx: jax.Array) -> jax.Array:
 _TWO_STAGE_BLOCKS = 16
 
 
+def use_two_stage(num_queries: int, num_items: int, k: int) -> bool:
+    """The STATIC-shape routing gate for the blocked top-k.
+
+    Measured crossover (round 4, value-gated windows, 62k x 384 catalog,
+    k=100 on the real chip): batch 1 is the only winner — 0.780 ms blocked
+    vs 0.908 ms direct (~14%); batch 2 already LOSES (1.22 vs 0.95 ms) and
+    the gap widens with batch because the blocked form adds nb*k candidate
+    work per row and only pays when a single row underfills the chip.  So
+    the gate is exactly ``num_queries == 1``; batches 2..inf (including the
+    2-31 mid-batches) must route to direct ``lax.top_k``.  The size floor
+    keeps the merge stage (nb*k candidates) meaningfully smaller than the
+    row itself — below it the split is pure overhead.
+    """
+    return num_queries == 1 and num_items >= _TWO_STAGE_BLOCKS * k * 4
+
+
 def _two_stage_topk(scores: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     """Exact blocked top-k: per-block top-k then a merge top-k.
 
@@ -125,10 +141,9 @@ def topk_items(
     )
     if exclude_idx is not None:
         scores = mask_excluded(scores, exclude_idx)
-    n = scores.shape[-1]
-    if scores.shape[0] == 1 and n >= _TWO_STAGE_BLOCKS * k * 4:
+    if use_two_stage(scores.shape[0], scores.shape[-1], k):
         # single-query serving latency: the blocked form wins ~14% there
-        # and ONLY there (static-shape gate — see _two_stage_topk)
+        # and ONLY there (static-shape gate — see use_two_stage)
         top_scores, top_cols = _two_stage_topk(scores, k)
     else:
         top_scores, top_cols = jax.lax.top_k(scores, k)
