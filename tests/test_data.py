@@ -271,3 +271,42 @@ def test_train_batches_cover_epoch(prepared):
         assert batch["history_item_idx"].shape == (4, 8)
         n += 1
     assert n == dm.train_data.num_batches(4)
+
+
+def test_vectorized_event_walk_matches_loop_semantics():
+    """The scale-path event generator (``_events_vectorized``, used at
+    >=2M events for the ML-25M shape) must produce the same schema and the
+    same walk structure as the per-event loop: per-user event counts,
+    1-based string ids, per-user strictly increasing timestamps, and ~70%
+    ring-local transitions."""
+    from transformer_recommenders_tpu.data import synthetic
+
+    rng = np.random.default_rng(0)
+    num_items, num_users = 300, 50
+    pop = 1.0 / np.arange(1, num_items + 1) ** 0.8
+    pop /= pop.sum()
+    counts = rng.multinomial(8_000 - 5 * num_users, np.full(num_users, 1 / num_users)) + 5
+
+    vec = synthetic._events_vectorized(np.random.default_rng(1), num_items, counts, pop)
+    loop = synthetic._events_loop(
+        np.random.default_rng(1),
+        [str(u + 1) for u in range(num_users)],
+        [str(i + 1) for i in range(num_items)],
+        num_items, counts, pop,
+    )
+    assert list(vec.columns) == list(loop.columns)
+    assert {c: str(t) for c, t in vec.dtypes.items()} == {
+        c: str(t) for c, t in loop.dtypes.items()
+    }
+    assert len(vec) == counts.sum()
+    assert (vec.groupby("user_id", sort=False).size().values == counts).all()
+
+    items = vec.item_id.astype(int).values
+    assert items.min() >= 1 and items.max() <= num_items
+    first = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    same_user = np.ones(len(vec), bool)
+    same_user[first] = False
+    assert (np.diff(vec.datetime.values)[same_user[1:]] > 0).all()
+    d = (items[1:] - items[:-1]) % num_items
+    local = ((d >= 1) & (d <= 3))[same_user[1:]].mean()
+    assert 0.55 < local < 0.85

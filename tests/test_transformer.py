@@ -182,6 +182,64 @@ def test_preprojected_table_equivalence():
     )
 
 
+def test_gather_then_project_equivalence():
+    """With a catalog LARGER than the 3*B*S gathered rows, compute_embeds
+    routes to gather-then-project (frozen table, no scatter backward —
+    BASELINE config #4's shape regime).  Outputs AND the input-projection
+    gradient must match the pre-projected-table semantics."""
+    from transformer_recommenders_tpu.models.recommender import compute_embeds
+    from transformer_recommenders_tpu.models.transformer import _dense
+
+    cfg = CFG.model_copy(update={"input_dim": 24})
+    params = init_transformer_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(3)
+    n_items = 120  # > 3 * 4 * 8 = 96 gathered rows -> new branch
+    table = jnp.asarray(np.concatenate(
+        [np.zeros((1, 24), np.float32),
+         rng.normal(size=(n_items, 24)).astype(np.float32)]
+    ))
+    batch = {
+        k: jnp.asarray(rng.integers(0, n_items + 1, size=(4, 8)).astype(np.int32))
+        for k in ["history_item_idx", "pos_item_idx", "neg_item_idx"]
+    }
+
+    def run(params, force_pre: bool):
+        if force_pre:
+            dtype = jnp.dtype(cfg.compute_dtype)
+            tp = _dense(table, params["input_proj"], dtype).at[0].set(0.0)
+            return compute_embeds(
+                params, cfg, None, *batch.values(),
+                table_lookup=lambda idx: jnp.take(tp, idx, axis=0),
+                lookup_projected=True,
+            )
+        return compute_embeds(params, cfg, table, *batch.values())
+
+    auto = run(params, force_pre=False)
+    pre = run(params, force_pre=True)
+    for key in ["query", "pos_embed", "neg_pool"]:
+        np.testing.assert_allclose(
+            np.asarray(auto[key]), np.asarray(pre[key]), rtol=2e-5, atol=2e-5
+        )
+    for key in ["row_valid", "neg_valid", "attention_mask"]:
+        np.testing.assert_array_equal(np.asarray(auto[key]), np.asarray(pre[key]))
+
+    def loss(p, force_pre):
+        e = run(p, force_pre)
+        q = e["query"] * e["row_valid"][:, None]
+        return (
+            jnp.sum(q * e["pos_embed"]) + jnp.sum(jnp.square(e["neg_pool"]))
+        )
+
+    g_auto = jax.grad(lambda p: loss(p, False))(params)["input_proj"]
+    g_pre = jax.grad(lambda p: loss(p, True))(params)["input_proj"]
+    np.testing.assert_allclose(
+        np.asarray(g_auto["w"]), np.asarray(g_pre["w"]), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_auto["b"]), np.asarray(g_pre["b"]), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_ml25m_scale_model_shape():
     """The scale config (6 layers, d=256, seq 128 — configs/ml25m_ccl.yaml)
     instantiates and runs forward."""

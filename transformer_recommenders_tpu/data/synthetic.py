@@ -78,6 +78,20 @@ def generate_raw(
     events_per_user = rng.multinomial(num_events - 5 * num_users, np.full(num_users, 1 / num_users))
     events_per_user += 5  # every user gets at least 5 events
 
+    if num_events >= 2_000_000:
+        events = _events_vectorized(rng, num_items, events_per_user, pop)
+    else:
+        events = _events_loop(
+            rng, user_ids, item_ids, num_items, events_per_user, pop
+        )
+    events["event_name"] = "rating"
+    events["label"] = True
+    return items, users, events
+
+
+def _events_loop(rng, user_ids, item_ids, num_items, events_per_user, pop):
+    """Per-event Python loop — kept verbatim for small datasets so existing
+    seeded fixtures (tests, QUALITY_RUN) stay bit-identical."""
     rows_user, rows_item, rows_time, rows_val = [], [], [], []
     t0 = 978_300_000  # ~2001, like ml-1m timestamps
     for u, n in enumerate(events_per_user):
@@ -96,8 +110,7 @@ def generate_raw(
                 cur = (cur + int(rng.integers(1, 4))) % num_items
             else:
                 cur = int(rng.choice(num_items, p=pop))
-
-    events = pd.DataFrame(
+    return pd.DataFrame(
         {
             "user_id": rows_user,
             "item_id": rows_item,
@@ -105,9 +118,49 @@ def generate_raw(
             "datetime": np.asarray(rows_time, np.int64),
         }
     )
-    events["event_name"] = "rating"
-    events["label"] = True
-    return items, users, events
+
+
+def _events_vectorized(rng, num_items, events_per_user, pop):
+    """Segmented-cumsum formulation of the same ring random walk for scale
+    datasets (ML-25M shape: a per-event loop over 25M events costs tens of
+    minutes; this is a handful of length-E numpy passes).
+
+    Walk semantics match ``_events_loop`` distributionally: each event is a
+    popularity (zipf) jump with p = 0.3 — and always at a user's first
+    event — otherwise ring-adjacent to the previous item (step 1..3).
+    Positions between jumps are ``jump_value + cumsum(steps)``; timestamps
+    are a per-user base plus ``cumsum`` of per-event increments.  Both are
+    recovered segment-wise via the last-jump-index ``maximum.accumulate``
+    trick, so no Python-level loop touches the E-length arrays.
+    """
+    counts = events_per_user.astype(np.int64)
+    e_total = int(counts.sum())
+    first_idx = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    is_first = np.zeros(e_total, bool)
+    is_first[first_idx] = True
+
+    jumps = (rng.random(e_total) < 0.3) | is_first
+    jump_vals = rng.choice(num_items, size=e_total, p=pop)
+    steps = rng.integers(1, 4, size=e_total)
+    cs = np.cumsum(steps)
+    last_jump = np.maximum.accumulate(np.where(jumps, np.arange(e_total), 0))
+    item_pos = (jump_vals[last_jump] + (cs - cs[last_jump])) % num_items
+
+    incs = rng.integers(60, 100_000, size=e_total)
+    cs_t = np.cumsum(incs)
+    t0s = 978_300_000 + rng.integers(0, 10_000_000, size=len(counts))
+    user_first = np.repeat(first_idx, counts)
+    times = np.repeat(t0s, counts) + (cs_t - cs_t[user_first])
+
+    user_num = np.repeat(np.arange(1, len(counts) + 1), counts)
+    return pd.DataFrame(
+        {
+            "user_id": pd.Series(user_num).astype(str),
+            "item_id": pd.Series(item_pos + 1).astype(str),
+            "event_value": rng.integers(1, 6, size=e_total).astype(np.int32),
+            "datetime": times.astype(np.int64),
+        }
+    )
 
 
 def prepare_synthetic(

@@ -112,20 +112,44 @@ def compute_embeds(
 
     projected = lookup_projected
     if table_lookup is None and item_table is not None:
-        table_use = item_table
-        if "input_proj" in params:
-            from transformer_recommenders_tpu.models.transformer import _dense
-
-            table_use = _dense(
-                item_table, params["input_proj"], jnp.dtype(cfg.compute_dtype)
-            )
-            table_use = table_use.at[0].set(0.0)
-            projected = True
         # ONE fused lookup for history + positives + negatives (3*B*S rows)
         all_idx = jnp.concatenate(
             [hist_t.reshape(-1), pos_flat, neg_flat]
         )
-        rows = fast_table_lookup(table_use, all_idx, compute_dtype=cfg.compute_dtype)
+        if "input_proj" in params and item_table.shape[0] > all_idx.size:
+            # GATHER-THEN-PROJECT (scale catalogs, BASELINE config #4):
+            # when the catalog exceeds the 3*B*S gathered rows, projecting
+            # the whole table costs more FLOPs AND more HBM than projecting
+            # only the gathered rows — and because the table is FROZEN
+            # (never updated, ``xfmr_rec/trainer.py:352-362``) the backward
+            # here is just dW = gathered^T @ d_out, where pre-projection's
+            # backward must SCATTER 3R row-grads into a dense (N+1, D) f32
+            # d(projected_table) and re-read the f32 table for dW.  Cost
+            # model + measured crossover: scripts/roofline_config4.py and
+            # BENCH_CONFIG4.json.  Algebraically identical to pre-projection
+            # (the projection is linear and per-row); pad rows are re-zeroed
+            # because the projection bias would otherwise make them nonzero.
+            from transformer_recommenders_tpu.models.transformer import _dense
+
+            raw = fast_table_lookup(
+                item_table, all_idx, compute_dtype=cfg.compute_dtype
+            )
+            rows = _dense(raw, params["input_proj"], jnp.dtype(cfg.compute_dtype))
+            rows = rows * (all_idx != 0)[:, None].astype(rows.dtype)
+            projected = True
+        else:
+            table_use = item_table
+            if "input_proj" in params:
+                from transformer_recommenders_tpu.models.transformer import _dense
+
+                table_use = _dense(
+                    item_table, params["input_proj"], jnp.dtype(cfg.compute_dtype)
+                )
+                table_use = table_use.at[0].set(0.0)
+                projected = True
+            rows = fast_table_lookup(
+                table_use, all_idx, compute_dtype=cfg.compute_dtype
+            )
         r = b * s
         hist_embeds = rows[:r].reshape(b, s, -1)
         pos_embed = rows[r : 2 * r]
