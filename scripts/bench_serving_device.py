@@ -1,0 +1,167 @@
+"""In-process serving latency distribution on the DEVICE-backed path
+(VERDICT r4 next #5).
+
+No socket, no HTTP parsing, no tunnel-facing client: requests are driven
+straight through the ASGI app callable, one thread + event loop per client
+(the same cross-loop topology ``asgi.serve`` gives the micro-batcher), with
+the item index on the TPU device.  Publishes p50/p95/p99 per
+(window_ms, max_batch) sweep point plus the realized batch-size
+distribution, replacing the prose "~1 ms device-side" claim with measured
+percentiles.
+
+Usage: python scripts/bench_serving_device.py [--clients 16] [--requests 480]
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import pathlib
+import sys
+import tempfile
+import threading
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np  # noqa: E402
+
+
+async def call_app(app, path: str, payload: dict) -> int:
+    body = json.dumps(payload).encode()
+    received = False
+
+    async def receive():
+        nonlocal received
+        if received:
+            return {"type": "http.disconnect"}
+        received = True
+        return {"type": "http.request", "body": body, "more_body": False}
+
+    status = [0]
+
+    async def send(event):
+        if event["type"] == "http.response.start":
+            status[0] = event["status"]
+
+    scope = {"type": "http", "method": "POST", "path": path, "headers": []}
+    await app(scope, receive, send)
+    return status[0]
+
+
+def run_point(app, item_ids, user_ids, clients: int, requests: int):
+    latencies: list[float] = []
+    errors = [0]
+    lock = threading.Lock()
+
+    def client(worker: int) -> None:
+        per = requests // clients
+        for i in range(per):
+            if (worker + i) % 2 == 0:
+                path, payload = "/recommend_with_item_id", {
+                    "item_id": item_ids[(worker * 31 + i) % len(item_ids)]
+                }
+            else:
+                path, payload = "/recommend_with_user_id", {
+                    "user_id": user_ids[(worker * 17 + i) % len(user_ids)]
+                }
+            t0 = time.perf_counter()
+            status = asyncio.run(call_app(app, path, payload))
+            dt = time.perf_counter() - t0
+            with lock:
+                if status == 200:
+                    latencies.append(dt)
+                else:
+                    errors[0] += 1
+
+    t0 = time.time()
+    threads = [threading.Thread(target=client, args=(w,)) for w in range(clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.time() - t0
+
+    latencies.sort()
+    n = len(latencies)
+    q = lambda p: round(latencies[min(n - 1, int(n * p))] * 1e3, 2) if n else None
+    return {
+        "requests_ok": n,
+        "errors": errors[0],
+        "qps": round(n / wall, 1),
+        "p50_ms": q(0.50),
+        "p95_ms": q(0.95),
+        "p99_ms": q(0.99),
+    }
+
+
+def batch_stats(app) -> dict:
+    """Realized batch sizes from the app's Prometheus aggregation."""
+    out = {}
+    for line in app.metrics_text().splitlines():
+        if "batch_size" in line and not line.startswith("#"):
+            key = "sum" if "sum" in line else ("count" if "count" in line else None)
+            if key:
+                out[key] = float(line.rsplit(" ", 1)[-1])
+    if out.get("count"):
+        out["mean_batch"] = round(out["sum"] / out["count"], 2)
+    return out
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--clients", type=int, default=16)
+    parser.add_argument("--requests", type=int, default=480)
+    parser.add_argument("--out", default="SERVING_DEVICE.json")
+    args = parser.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+
+    from transformer_recommenders_tpu.serving import deploy as deploy_mod
+    from transformer_recommenders_tpu.serving.service import MicroBatcher, Service
+
+    with tempfile.TemporaryDirectory() as tmp:
+        trainer = deploy_mod._fast_dev_trainer(tmp)
+        trainer.save(pathlib.Path(tmp) / "artifact")
+        service = Service(pathlib.Path(tmp) / "artifact")
+        backend = jax.default_backend()
+
+        item_ids = service.item_index.index.store.records["item_id"].tolist()
+        user_ids = service.user_index.index.store.records["user_id"].tolist()
+
+        points = []
+        for window_ms, max_batch in [(2.0, 64), (0.5, 64), (5.0, 64), (2.0, 16)]:
+            service.model.batcher = MicroBatcher(
+                lambda qs: service.model.embed(qs),
+                max_batch=max_batch,
+                window_ms=window_ms,
+            )
+            app = service.to_asgi()
+            # warm every compiled shape bucket (po2 paddings + search)
+            run_point(app, item_ids, user_ids, args.clients, args.clients * 4)
+            res = run_point(app, item_ids, user_ids, args.clients, args.requests)
+            res.update(
+                window_ms=window_ms,
+                max_batch=max_batch,
+                batch=batch_stats(app),
+            )
+            points.append(res)
+            print(json.dumps(res), flush=True)
+
+        best = min(points, key=lambda r: (r["p95_ms"] or 1e9))
+        payload = {
+            "mode": "in-process ASGI, no socket/HTTP client",
+            "backend": backend,
+            "clients": args.clients,
+            "sweep": points,
+            "best": best,
+        }
+        pathlib.Path(args.out).write_text(json.dumps(payload, indent=2))
+        print(json.dumps({"best": best}))
+
+
+if __name__ == "__main__":
+    main()

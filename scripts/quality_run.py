@@ -110,6 +110,91 @@ def main() -> None:
         ph["epoch_wall"] + ph["validate"] + ph["checkpoint"]
         + ph["final_checkpoint"]
     )
+
+    # -- tunnel vs host split (VERDICT r4 next #4) -------------------------
+    # Per main-loop phase: wall = blocked time + host CPU.  thread-CPU
+    # deltas (phase_cpu_seconds) are host work that survives co-location;
+    # wall - cpu is WAITING (tunnel round-trips or device backpressure).
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    cpu = trainer.phase_cpu_seconds
+    cnt = trainer.phase_counts
+    loop_phases = ("queue_wait", "upload", "dispatch", "log", "tail_dispatch")
+    split = {
+        p: {
+            "wall_s": round(ph[p], 2),
+            "host_cpu_s": round(cpu[p], 2),
+            "waiting_s": round(max(0.0, ph[p] - cpu[p]), 2),
+        }
+        for p in loop_phases
+    }
+    split["counts"] = dict(cnt)
+
+    # measured tunnel RTT: median of N tiny blocking scalar fetches
+    x = jnp.zeros(())
+    jax.block_until_ready(x)
+    rtts = []
+    for _ in range(15):
+        t = time.perf_counter()
+        float(jax.device_get(x))
+        rtts.append(time.perf_counter() - t)
+    rtt_ms = float(np.median(rtts) * 1e3)
+
+    # in-situ device window time: K steps per scanned dispatch, value-gated
+    # (the same program fit() ran; params are converged — timing only)
+    k = config.steps_per_dispatch
+    dm = trainer.datamodule
+    window = None
+    for i, batch in enumerate(dm.train_batches(0)):
+        if i == k:
+            break
+        window = [batch] if window is None else window + [batch]
+    step_ms = None
+    if window is not None and len(window) == k:
+        from transformer_recommenders_tpu.training.scan_steps import stack_batches
+
+        stacked = {kk: jax.device_put(v) for kk, v in stack_batches(window).items()}
+        state = trainer.state
+        scan = trainer._scan_step
+        key = jax.random.key(123)
+        state, _ = scan(state, trainer.model.item_table, stacked, key)
+        float(jax.device_get(jax.tree.leaves(state.params)[0].ravel()[0]))
+        reps = 6
+        t = time.perf_counter()
+        for _ in range(reps):
+            state, _ = scan(state, trainer.model.item_table, stacked, key)
+        float(jax.device_get(jax.tree.leaves(state.params)[0].ravel()[0]))
+        step_ms = (time.perf_counter() - t) / (reps * k) * 1e3
+
+    # co-located projection for a steady epoch: the tunnel terms vanish,
+    # host CPU and device compute remain and overlap (producer thread)
+    n_epochs = max(len(trainer.epoch_walls), 1)
+    host_cpu_loop = sum(cpu[p] for p in loop_phases)
+    projection = None
+    if steady and step_ms is not None:
+        steps_per_epoch = (
+            cnt.get("windows", 0) * k + cnt.get("tail_steps", 0)
+        ) / n_epochs
+        device_busy_epoch = steps_per_epoch * step_ms / 1e3
+        host_cpu_epoch = host_cpu_loop / n_epochs
+        colocated_epoch = max(device_busy_epoch, host_cpu_epoch)
+        projection = {
+            "steady_epoch_wall_s": round(med_epoch, 2),
+            "device_busy_epoch_s": round(device_busy_epoch, 2),
+            "host_cpu_epoch_s": round(host_cpu_epoch, 2),
+            "tunnel_attributed_epoch_s": round(
+                max(0.0, med_epoch - colocated_epoch), 2
+            ),
+            "colocated_epoch_s": round(colocated_epoch, 2),
+            "colocated_examples_per_s": round(
+                examples_per_epoch / max(colocated_epoch, 1e-9), 1
+            ),
+            "measured_step_ms": round(step_ms, 3),
+            "tunnel_rtt_ms": round(rtt_ms, 1),
+        }
     payload = {
         "config": "reference-equivalent (1L d=384 ffn=48 seq=32, InfoNCE) on synthetic ML-1M shape",
         "epochs": args.epochs,
@@ -121,6 +206,8 @@ def main() -> None:
         # time incl. blocking when the dispatch queue backs up
         "fit_phase_seconds": phases,
         "fit_unattributed_s": round(max(0.0, fit_wall - accounted), 1),
+        "tunnel_vs_host_split": split,
+        "colocated_projection": projection,
         "val": {k: round(v, 4) for k, v in result.items()},
         "test": {k: round(v, 4) for k, v in test.items()},
     }

@@ -332,3 +332,48 @@ def test_hash_dropout_identity_cases():
     x = jax.random.normal(jax.random.key(0), (8, 8))
     np.testing.assert_array_equal(np.asarray(_dropout(x, 0.0, jax.random.key(1))), np.asarray(x))
     np.testing.assert_array_equal(np.asarray(_dropout(x, 0.5, None)), np.asarray(x))
+
+
+def test_softmax_bf16_residual_matches_f32():
+    """The bf16-residual attention softmax (s>64 XLA path, bf16 compute)
+    must match jax.nn.softmax exactly in value (modulo the bf16 cast) and
+    closely in gradient (the VJP rebuilds from bf16-rounded probs)."""
+    from transformer_recommenders_tpu.models.transformer import _softmax_bf16
+
+    x = jax.random.normal(jax.random.key(0), (2, 4, 16, 16)) * 4.0
+
+    y = _softmax_bf16(x)
+    assert y.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(y), np.asarray(jax.nn.softmax(x, axis=-1).astype(jnp.bfloat16))
+    )
+
+    g = jax.random.normal(jax.random.key(1), x.shape)
+    ref = jax.vjp(lambda t: jax.nn.softmax(t, axis=-1), x)[1](g)[0]
+    got = jax.vjp(_softmax_bf16, x)[1](g.astype(jnp.bfloat16))[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-3)
+
+
+def test_split_attention_bf16_grads_match_f32_path():
+    """End-to-end check at an s>64 shape: encoder gradients with bf16
+    compute (bf16-residual softmax engaged) track the f32 path."""
+    cfg32 = ModelConfig(
+        hidden_size=32, num_hidden_layers=1, num_attention_heads=4,
+        intermediate_size=32, max_seq_length=80, compute_dtype="float32",
+        hidden_dropout=0.0, attention_dropout=0.0,
+    )
+    cfg16 = cfg32.model_copy(update={"compute_dtype": "bfloat16"})
+    params = init_transformer_params(jax.random.key(0), cfg32)
+    x = jax.random.normal(jax.random.key(1), (2, 80, 32))
+
+    def loss(p, cfg):
+        return jnp.sum(
+            jnp.square(transformer_encode(p, cfg, x)["sentence_embedding"])
+        )
+
+    g32 = jax.grad(lambda p: loss(p, cfg32))(params)
+    g16 = jax.grad(lambda p: loss(p, cfg16))(params)
+    for a, b in zip(jax.tree.leaves(g16), jax.tree.leaves(g32)):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        denom = max(1.0, float(np.max(np.abs(b))))
+        assert np.max(np.abs(a - b)) / denom < 0.05

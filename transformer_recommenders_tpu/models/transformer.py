@@ -161,6 +161,43 @@ def _dropout(x: jax.Array, rate: float, rng: jax.Array | None) -> jax.Array:
     return jnp.where(h >= keep_threshold(rate), x / (1.0 - rate), 0.0)
 
 
+@jax.custom_vjp
+def _softmax_bf16(x: jax.Array) -> jax.Array:
+    return jax.nn.softmax(x, axis=-1).astype(jnp.bfloat16)
+
+
+def _softmax_bf16_fwd(x):
+    y = _softmax_bf16(x)
+    return y, y
+
+
+def _softmax_bf16_bwd(y16, g):
+    y = y16.astype(jnp.float32)
+    g = g.astype(jnp.float32)
+    return (y * (g - jnp.sum(g * y, axis=-1, keepdims=True)),)
+
+
+_softmax_bf16.defvjp(_softmax_bf16_fwd, _softmax_bf16_bwd)
+
+
+def _softmax_probs(scores: jax.Array, dtype: jnp.dtype) -> jax.Array:
+    """Attention softmax whose RESIDUAL (and output) is ``dtype``.
+
+    ``jax.nn.softmax``'s VJP saves its f32 output — at s=128 the
+    (B, H, S, S) probs tensor is the largest residual of the XLA attention
+    path, and it got saved TWICE: the f32 softmax output plus the bf16 cast
+    the pv contraction consumes (config-4 xplane: 23 ms/step of async
+    copy/slice windows streaming f32[64,8,128,128] buffers —
+    scripts/trace_config4.py).  With bf16 compute, a custom VJP stores the
+    probs once in bf16 and rebuilds the softmax gradient from them
+    (dx = y*(g - sum(g*y)); the y it uses is bf16-rounded, an O(2^-8)
+    relative perturbation of an O(1) quantity).  f32 compute keeps the
+    stock softmax — gradient checks and HF parity run exact."""
+    if jnp.dtype(dtype) == jnp.bfloat16:
+        return _softmax_bf16(scores)
+    return jax.nn.softmax(scores, axis=-1)
+
+
 def _fused_layer_mode(cfg: ModelConfig, s: int) -> str | None:
     """None -> XLA layer stack; "compiled"/"interpret" -> the full-layer
     megafusion kernel (``ops/fused_layer.py``).  Shape gate: Mosaic wants
@@ -262,7 +299,7 @@ def _attention(
     scores = jnp.einsum("bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32)
     scores = scores * scale
 
-    probs = jax.nn.softmax(scores + bias, axis=-1)
+    probs = _softmax_probs(scores + bias, dtype)
     probs = _dropout(probs, cfg.attention_dropout, rng)
 
     ctx = jnp.einsum(

@@ -78,7 +78,20 @@ class Trainer:
         # verdict #3: the end-to-end-vs-device-rate gap must be a measured
         # table, not prose.
         self.phase_seconds: dict[str, float] = self._fresh_phases()
+        # thread-CPU seconds per main-loop phase (time.thread_time deltas):
+        # wall - cpu is time the loop WAITED (tunnel round-trips or device
+        # backpressure), cpu is host work that would survive co-location —
+        # the split the round-4 verdict asked for (next #4)
+        self.phase_cpu_seconds: dict[str, float] = self._fresh_phases()
+        # event counts behind the phases: windows dispatched, log-fetch
+        # events, ragged-tail steps (for count x RTT tunnel attribution)
+        self.phase_counts: dict[str, int] = {}
         self.epoch_walls: list[float] = []
+        # deferred log events: (host_step, examples, wall_s, device vec of
+        # per-key window means) — ONE blocking device_get per epoch at
+        # flush time instead of one per logging event
+        self._pending_logs: list = []
+        self._pending_log_keys: list[str] | None = None
 
     @staticmethod
     def _fresh_phases() -> dict[str, float]:
@@ -217,6 +230,10 @@ class Trainer:
         root_key = jax.random.key(cfg.seed)
         t_start = time.time()
         self.phase_seconds = self._fresh_phases()
+        self.phase_cpu_seconds = self._fresh_phases()
+        self.phase_counts = {}
+        self._pending_logs = []
+        self._pending_log_keys = None
         self.epoch_walls = []
         examples = 0
         stop = False
@@ -302,6 +319,9 @@ class Trainer:
                     stop, examples = self._run_epoch_scanned(
                         epoch, root_key, t_start, examples
                     )
+                    # early-stop/max-steps exits skip the _DONE flush; the
+                    # flush is idempotent (no-op on an empty queue)
+                    self._flush_pending_logs()
                     dt_ep = time.perf_counter() - t_ep
                     # mid-epoch validation runs INSIDE the epoch wall but is
                     # already attributed to "validate" — subtract it so the
@@ -512,15 +532,23 @@ class Trainer:
 
         threading.Thread(target=produce, daemon=True).start()
 
+        cpu = self.phase_cpu_seconds
+        counts = self.phase_counts
+
+        def _bump(name: str, n: int = 1) -> None:
+            counts[name] = counts.get(name, 0) + n
+
         while True:
-            t0 = time.perf_counter()
+            t0, c0 = time.perf_counter(), time.thread_time()
             item = window_queue.get()
             phases["queue_wait"] += time.perf_counter() - t0
+            cpu["queue_wait"] += time.thread_time() - c0
             if item is _DONE:
+                self._flush_pending_logs()
                 return False, examples
             kind, payload, n_steps, n_examples = item
             if kind == "full":
-                t0 = time.perf_counter()
+                t0, c0 = time.perf_counter(), time.thread_time()
                 if window_sharding is not None:
                     payload = {
                         key: jax.device_put(v, window_sharding)
@@ -533,63 +561,59 @@ class Trainer:
                         key: jax.device_put(v) for key, v in payload.items()
                     }
                 phases["upload"] += time.perf_counter() - t0
+                cpu["upload"] += time.thread_time() - c0
                 table = (
                     self._placed_table
                     if self.mesh is not None
                     else self.model.item_table
                 )
-                t0 = time.perf_counter()
+                t0, c0 = time.perf_counter(), time.thread_time()
                 self.state, logs = self._scan_step(
                     self.state, table, payload, root_key
                 )
                 phases["dispatch"] += time.perf_counter() - t0
+                cpu["dispatch"] += time.thread_time() - c0
+                _bump("windows")
                 examples += n_examples
                 self._host_step += n_steps
                 if self._host_step // k % max(cfg.log_every_n_steps // k, 1) == 0:
-                    t0 = time.perf_counter()
-                    # ONE buffer, ONE download: jax.device_get of a dict
-                    # fetches leaf-by-leaf — ~25 sequential tunnel
-                    # round-trips (~141 ms each, profiled round 4) per
-                    # logging event.  Stacking device-side costs one tiny
-                    # async concat and downloads a single (n_keys, k) buffer.
-                    means = self._fetch_log_means(logs)
-                    means["train/examples_per_s"] = examples / max(
-                        time.time() - t_start, 1e-9
-                    )
-                    self.logger.log(means, step=self._host_step)
+                    t0, c0 = time.perf_counter(), time.thread_time()
+                    # DEFERRED logging: reduce the window's (n_keys, k) logs
+                    # to per-key means DEVICE-side (tiny async dispatch, no
+                    # download) and queue the handle; ONE blocking
+                    # device_get at epoch end fetches every event at once.
+                    # The per-event blocking fetch this replaces cost one
+                    # tunnel round-trip (~141 ms profiled round 4) per event.
+                    self._queue_log_event(logs, examples, time.time() - t_start)
                     phases["log"] += time.perf_counter() - t0
-            else:  # ragged tail keeps shapes static via the single-step path
-                if getattr(self, "_single_step", None) is None:
-                    if self.mesh is not None:
-                        from transformer_recommenders_tpu.parallel.train import (
-                            make_sharded_train_step,
-                        )
-
-                        self._single_step = make_sharded_train_step(
-                            cfg, self.mesh, full_logs=False
-                        )
-                    else:
-                        self._single_step = make_train_step(cfg, full_logs=False)
+                    cpu["log"] += time.thread_time() - c0
+                    _bump("log_events")
+            else:  # ragged tail: ONE scanned dispatch at the tail length
+                # (compiled once per distinct tail size — stable across
+                # epochs), replacing len(payload) single-step dispatches.
+                # RNG parity with the single-step path it replaced: the scan
+                # body folds root_key with the DEVICE step counter, which
+                # equals the host counter the single-step path folded in.
                 table = (
                     self._placed_table
                     if self.mesh is not None
                     else self.model.item_table
                 )
-                t0 = time.perf_counter()
-                for batch in payload:
-                    step_key = jax.random.fold_in(root_key, self._host_step)
-                    if self.mesh is not None:
-                        from transformer_recommenders_tpu.parallel.mesh import (
-                            shard_batch,
-                        )
-
-                        batch = shard_batch(batch, self.mesh)
-                    self.state, _ = self._single_step(
-                        self.state, table, batch, step_key
-                    )
-                    examples += batch["history_item_idx"].shape[0]
-                    self._host_step += 1
+                t0, c0 = time.perf_counter(), time.thread_time()
+                stacked = stack_batches(payload)
+                if window_sharding is not None:
+                    stacked = {
+                        key: jax.device_put(v, window_sharding)
+                        for key, v in stacked.items()
+                    }
+                self.state, _ = self._scan_step(
+                    self.state, table, stacked, root_key
+                )
+                examples += n_examples
+                self._host_step += n_steps
                 phases["tail_dispatch"] += time.perf_counter() - t0
+                cpu["tail_dispatch"] += time.thread_time() - c0
+                _bump("tail_steps", n_steps)
             if (
                 self._midepoch_validate is not None
                 and cfg.val_check_interval > 0
@@ -602,6 +626,40 @@ class Trainer:
                 return True, examples
             if time.time() - t_start > cfg.max_time_seconds:
                 return True, examples
+
+    def _queue_log_event(self, logs: dict, examples: int, wall_s: float) -> None:
+        """Reduce a window's logs to a per-key mean VECTOR on device (async,
+        no download) and queue it; :meth:`_flush_pending_logs` downloads all
+        queued events in one blocking transfer."""
+        import jax.numpy as jnp
+
+        keys = sorted(logs)
+        if self._pending_log_keys is None:
+            self._pending_log_keys = keys
+        vec = jnp.stack(
+            [jnp.mean(jnp.asarray(logs[key], jnp.float32)) for key in keys]
+        )
+        self._pending_logs.append((self._host_step, examples, wall_s, vec))
+
+    def _flush_pending_logs(self) -> None:
+        """Emit every queued log event with ONE device_get: the (E, n_keys)
+        stack downloads in a single tunnel round-trip instead of E."""
+        if not self._pending_logs:
+            return
+        import jax.numpy as jnp
+
+        t0 = time.perf_counter()
+        keys = self._pending_log_keys
+        vecs = jax.device_get(jnp.stack([v for (_, _, _, v) in self._pending_logs]))
+        for (step, examples, wall_s, _), row in zip(self._pending_logs, vecs):
+            means = {key: float(x) for key, x in zip(keys, row)}
+            means["train/examples_per_s"] = examples / max(wall_s, 1e-9)
+            self.logger.log(means, step=step)
+        self._pending_logs = []
+        self.phase_seconds["log"] += time.perf_counter() - t0
+        self.phase_counts["log_flushes"] = (
+            self.phase_counts.get("log_flushes", 0) + 1
+        )
 
     @staticmethod
     def _fetch_log_means(logs: dict) -> dict[str, float]:
