@@ -334,24 +334,47 @@ def test_hash_dropout_identity_cases():
     np.testing.assert_array_equal(np.asarray(_dropout(x, 0.5, None)), np.asarray(x))
 
 
-def test_softmax_bf16_residual_matches_f32():
-    """The bf16-residual attention softmax (s>64 XLA path, bf16 compute)
-    must match jax.nn.softmax exactly in value (modulo the bf16 cast) and
-    closely in gradient (the VJP rebuilds from bf16-rounded probs)."""
-    from transformer_recommenders_tpu.models.transformer import _softmax_bf16
-
-    x = jax.random.normal(jax.random.key(0), (2, 4, 16, 16)) * 4.0
-
-    y = _softmax_bf16(x)
-    assert y.dtype == jnp.bfloat16
-    np.testing.assert_array_equal(
-        np.asarray(y), np.asarray(jax.nn.softmax(x, axis=-1).astype(jnp.bfloat16))
+def test_attn_ctx_bf16_single_residual_matches_unfused():
+    """The single-residual attention chain (s>64 XLA path, bf16 compute)
+    must be bit-identical to the unfused softmax->bf16->dropout->pv chain
+    in the forward and close in every gradient (the VJP rebuilds the
+    dropped probs from the one saved bf16 buffer + the recomputed hash
+    mask)."""
+    from transformer_recommenders_tpu.models.transformer import (
+        _attn_ctx_bf16,
+        _dropout_from_seed,
     )
 
-    g = jax.random.normal(jax.random.key(1), x.shape)
-    ref = jax.vjp(lambda t: jax.nn.softmax(t, axis=-1), x)[1](g)[0]
-    got = jax.vjp(_softmax_bf16, x)[1](g.astype(jnp.bfloat16))[0]
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-3)
+    x = jax.random.normal(jax.random.key(0), (2, 4, 16, 16)) * 4.0
+    v = jax.random.normal(jax.random.key(1), (2, 16, 4, 8)).astype(jnp.bfloat16)
+    seed = jnp.uint32(1234)
+
+    def unfused(x, v, rate):
+        y = jax.nn.softmax(x, axis=-1).astype(jnp.bfloat16)
+        p = _dropout_from_seed(y, rate, seed) if rate > 0 else y
+        return jnp.einsum(
+            "bhst,bthd->bshd", p, v, preferred_element_type=jnp.float32
+        )
+
+    for rate in (0.0, 0.1):
+        got = _attn_ctx_bf16(x, v, seed, rate)
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(unfused(x, v, rate))
+        )
+        g = jax.random.normal(jax.random.key(2), got.shape)
+        ref_dx, ref_dv = jax.vjp(lambda x, v: unfused(x, v, rate), x, v)[1](g)
+        got_dx, got_dv = jax.vjp(
+            lambda x, v: _attn_ctx_bf16(x, v, seed, rate), x, v
+        )[1](g)
+        # dscores rebuilds from bf16-rounded probs: error ~ |dy| * y * 2^-8
+        # (measured 0.017 peak against a ~3.5 gradient scale, ~0.5% relative)
+        np.testing.assert_allclose(
+            np.asarray(got_dx), np.asarray(ref_dx), atol=3e-2
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_dv, np.float32), np.asarray(ref_dv, np.float32),
+            rtol=0.04, atol=0.05,
+        )
 
 
 def test_split_attention_bf16_grads_match_f32_path():

@@ -26,6 +26,7 @@ driving HF BERT with ``inputs_embeds``):
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any
 
@@ -145,6 +146,19 @@ def _dropout(x: jax.Array, rate: float, rng: jax.Array | None) -> jax.Array:
     """
     if rng is None or rate <= 0.0:
         return x
+    return _dropout_from_seed(x, rate, _dropout_seed(rng))
+
+
+def _dropout_seed(rng: jax.Array) -> jax.Array:
+    """The uint32 site seed ``_dropout`` derives from a PRNG key — split out
+    so custom-VJP attention can carry it as a plain array residual."""
+    from transformer_recommenders_tpu.ops.hash_dropout import PREMIX_IDX
+
+    data = jax.random.key_data(rng).reshape(-1).astype(jnp.uint32)
+    return data[-1] ^ (data[0] * jnp.uint32(PREMIX_IDX))
+
+
+def _dropout_from_seed(x: jax.Array, rate: float, seed: jax.Array) -> jax.Array:
     from transformer_recommenders_tpu.ops.hash_dropout import (
         PREMIX_IDX,
         PREMIX_SEED,
@@ -152,8 +166,6 @@ def _dropout(x: jax.Array, rate: float, rng: jax.Array | None) -> jax.Array:
         keep_threshold,
     )
 
-    data = jax.random.key_data(rng).reshape(-1).astype(jnp.uint32)
-    seed = data[-1] ^ (data[0] * jnp.uint32(PREMIX_IDX))
     h = fmix32(
         _linear_iota(x.shape) * jnp.uint32(PREMIX_IDX)
         + seed * jnp.uint32(PREMIX_SEED)
@@ -161,41 +173,51 @@ def _dropout(x: jax.Array, rate: float, rng: jax.Array | None) -> jax.Array:
     return jnp.where(h >= keep_threshold(rate), x / (1.0 - rate), 0.0)
 
 
-@jax.custom_vjp
-def _softmax_bf16(x: jax.Array) -> jax.Array:
-    return jax.nn.softmax(x, axis=-1).astype(jnp.bfloat16)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _attn_ctx_bf16(scores, v, seed, rate):
+    """softmax -> bf16 -> hash-dropout -> pv contraction with ONE bf16
+    residual.
+
+    The stock chain at s=128 saves the (B, H, S, S) probs TWICE — the f32
+    softmax output for the softmax VJP plus the bf16 cast the pv
+    contraction consumes (config-4 xplane: 23 ms/step of async copy/slice
+    windows streaming f32[64,8,128,128] buffers, scripts/trace_config4.py;
+    storing the softmax residual in bf16 measured 6.07 -> 5.70 ms/step).
+    This custom VJP keeps exactly one bf16 probs buffer: backward rebuilds
+    the dropped probs from it by recomputing the counter-based hash mask
+    (pure elementwise from iota — nothing stored), reuses dropout's
+    linearity for its own VJP, and reconstructs the softmax gradient
+    dx = y*(g - sum(g*y)) from the bf16-rounded y (an O(2^-8) relative
+    perturbation of an O(1) quantity).  Forward numerics are IDENTICAL to
+    the unfused bf16 chain; f32 compute keeps the stock softmax path so
+    gradient checks and HF parity run exact."""
+    y = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
+    p = _dropout_from_seed(y, rate, seed) if rate > 0.0 else y
+    return jnp.einsum("bhst,bthd->bshd", p, v, preferred_element_type=jnp.float32)
 
 
-def _softmax_bf16_fwd(x):
-    y = _softmax_bf16(x)
-    return y, y
+def _attn_ctx_bf16_fwd(scores, v, seed, rate):
+    y = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
+    p = _dropout_from_seed(y, rate, seed) if rate > 0.0 else y
+    ctx = jnp.einsum("bhst,bthd->bshd", p, v, preferred_element_type=jnp.float32)
+    return ctx, (y, v, seed)
 
 
-def _softmax_bf16_bwd(y16, g):
+def _attn_ctx_bf16_bwd(rate, res, g):
+    y16, v, seed = res
+    p = _dropout_from_seed(y16, rate, seed) if rate > 0.0 else y16
+    dv = jnp.einsum(
+        "bhst,bshd->bthd", p, g, preferred_element_type=jnp.float32
+    ).astype(v.dtype)
+    dp = jnp.einsum("bshd,bthd->bhst", g, v, preferred_element_type=jnp.float32)
+    # dropout is x * mask/keep — linear, so its VJP is the same map
+    dy = _dropout_from_seed(dp, rate, seed) if rate > 0.0 else dp
     y = y16.astype(jnp.float32)
-    g = g.astype(jnp.float32)
-    return (y * (g - jnp.sum(g * y, axis=-1, keepdims=True)),)
+    dscores = y * (dy - jnp.sum(dy * y, axis=-1, keepdims=True))
+    return dscores, dv, None
 
 
-_softmax_bf16.defvjp(_softmax_bf16_fwd, _softmax_bf16_bwd)
-
-
-def _softmax_probs(scores: jax.Array, dtype: jnp.dtype) -> jax.Array:
-    """Attention softmax whose RESIDUAL (and output) is ``dtype``.
-
-    ``jax.nn.softmax``'s VJP saves its f32 output — at s=128 the
-    (B, H, S, S) probs tensor is the largest residual of the XLA attention
-    path, and it got saved TWICE: the f32 softmax output plus the bf16 cast
-    the pv contraction consumes (config-4 xplane: 23 ms/step of async
-    copy/slice windows streaming f32[64,8,128,128] buffers —
-    scripts/trace_config4.py).  With bf16 compute, a custom VJP stores the
-    probs once in bf16 and rebuilds the softmax gradient from them
-    (dx = y*(g - sum(g*y)); the y it uses is bf16-rounded, an O(2^-8)
-    relative perturbation of an O(1) quantity).  f32 compute keeps the
-    stock softmax — gradient checks and HF parity run exact."""
-    if jnp.dtype(dtype) == jnp.bfloat16:
-        return _softmax_bf16(scores)
-    return jax.nn.softmax(scores, axis=-1)
+_attn_ctx_bf16.defvjp(_attn_ctx_bf16_fwd, _attn_ctx_bf16_bwd)
 
 
 def _fused_layer_mode(cfg: ModelConfig, s: int) -> str | None:
@@ -299,12 +321,18 @@ def _attention(
     scores = jnp.einsum("bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32)
     scores = scores * scale
 
-    probs = _softmax_probs(scores + bias, dtype)
-    probs = _dropout(probs, cfg.attention_dropout, rng)
-
-    ctx = jnp.einsum(
-        "bhst,bthd->bshd", probs.astype(dtype), v, preferred_element_type=jnp.float32
-    )
+    if jnp.dtype(dtype) == jnp.bfloat16:
+        live = rng is not None and cfg.attention_dropout > 0.0
+        seed = _dropout_seed(rng) if live else jnp.uint32(0)
+        rate = cfg.attention_dropout if live else 0.0
+        ctx = _attn_ctx_bf16(scores + bias, v, seed, rate)
+    else:
+        probs = jax.nn.softmax(scores + bias, axis=-1)
+        probs = _dropout(probs, cfg.attention_dropout, rng)
+        ctx = jnp.einsum(
+            "bhst,bthd->bshd", probs.astype(dtype), v,
+            preferred_element_type=jnp.float32,
+        )
     ctx = ctx.reshape(b, s, d)
     return _dense(ctx, p["out"], dtype)
 
