@@ -131,6 +131,10 @@ def main() -> None:
         "refused": {
             "full_layer_remat": "6.54 -> 7.75 ms (round 4; DMA overlaps compute ~4x)",
             "seq128_megafusion": "VMEM residency infeasible (round-4 tall retirement)",
+            "dropout": "measured marginal 0.36 ms (5.64 -> 5.28 with both "
+                       "dropouts off) vs its 0.29 ms VPU-ceiling bound — the "
+                       "hash form is already elementwise-ceiling-bound; "
+                       "removable only by changing training semantics",
         },
         "attribution": "xplane bucket tables: scripts/trace_config4.py "
                        "(pre-fix: 13.9 ms/step copy-start + 9.4 slice-start "
