@@ -25,6 +25,12 @@ def main() -> None:
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--data_dir", default="/tmp/xrt_quality_data")
     parser.add_argument("--out", default="QUALITY_RUN.json")
+    parser.add_argument(
+        "--steps_per_dispatch", type=int, default=8,
+        help="scan window K; over a tunneled chip the steady epoch is "
+             "RTT-count-bound (~1 round-trip per window), so wider windows "
+             "trade compile variants for fewer round trips",
+    )
     args = parser.parse_args()
 
     if args.cpu:
@@ -68,7 +74,7 @@ def main() -> None:
         eval_batch_size=256,
         top_k=20,
         log_every_n_steps=50,
-        steps_per_dispatch=8,
+        steps_per_dispatch=args.steps_per_dispatch,
         checkpoint_every_epoch=False,
         ckpt_dir="/tmp/xrt_quality_ckpt",
     )
@@ -132,14 +138,20 @@ def main() -> None:
         for p in loop_phases
     }
     split["counts"] = dict(cnt)
+    split["per_epoch_loop_cpu_s"] = trainer.epoch_cpu_walls
 
-    # measured tunnel RTT: median of N tiny blocking scalar fetches
-    x = jnp.zeros(())
-    jax.block_until_ready(x)
+    # measured tunnel RTT: median of tiny blocking scalar fetches.  Each
+    # ping computes a DIFFERENT value (x * i) — identical (program, args)
+    # dispatches are memoized by the runtime and a constant zeros() scalar
+    # may never even leave the host (the round-4 harness lesson)
+    x = jax.device_put(np.float32(1.5))
+    ping = jax.jit(lambda x, i: x * i)
+    for i in range(3):  # compile + burn
+        float(jax.device_get(ping(x, np.float32(i + 1))))
     rtts = []
-    for _ in range(15):
+    for i in range(15):
         t = time.perf_counter()
-        float(jax.device_get(x))
+        float(jax.device_get(ping(x, np.float32(10 + i))))
         rtts.append(time.perf_counter() - t)
     rtt_ms = float(np.median(rtts) * 1e3)
 
@@ -159,27 +171,29 @@ def main() -> None:
         stacked = {kk: jax.device_put(v) for kk, v in stack_batches(window).items()}
         state = trainer.state
         scan = trainer._scan_step
-        key = jax.random.key(123)
-        state, _ = scan(state, trainer.model.item_table, stacked, key)
+        keys = [jax.random.key(200 + i) for i in range(40)]
+        for i in range(3):  # burn (donated-buffer variant + memoization)
+            state, _ = scan(state, trainer.model.item_table, stacked, keys[i])
         float(jax.device_get(jax.tree.leaves(state.params)[0].ravel()[0]))
-        reps = 6
+        reps = 30  # long window so the final value-gate RTT amortizes
         t = time.perf_counter()
-        for _ in range(reps):
-            state, _ = scan(state, trainer.model.item_table, stacked, key)
+        for i in range(reps):
+            state, _ = scan(state, trainer.model.item_table, stacked, keys[3 + i])
         float(jax.device_get(jax.tree.leaves(state.params)[0].ravel()[0]))
         step_ms = (time.perf_counter() - t) / (reps * k) * 1e3
 
     # co-located projection for a steady epoch: the tunnel terms vanish,
     # host CPU and device compute remain and overlap (producer thread)
     n_epochs = max(len(trainer.epoch_walls), 1)
-    host_cpu_loop = sum(cpu[p] for p in loop_phases)
     projection = None
     if steady and step_ms is not None:
         steps_per_epoch = (
             cnt.get("windows", 0) * k + cnt.get("tail_steps", 0)
         ) / n_epochs
         device_busy_epoch = steps_per_epoch * step_ms / 1e3
-        host_cpu_epoch = host_cpu_loop / n_epochs
+        # STEADY-epoch host CPU: epoch 0's CPU is tracing/bring-up and
+        # must not leak into the co-located projection
+        host_cpu_epoch = float(np.median(trainer.epoch_cpu_walls[1:]))
         colocated_epoch = max(device_busy_epoch, host_cpu_epoch)
         projection = {
             "steady_epoch_wall_s": round(med_epoch, 2),

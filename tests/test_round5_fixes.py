@@ -233,6 +233,9 @@ def test_scanned_loop_defers_logs_and_scans_tail(tmp_path):
     # thread-CPU split exists and never exceeds wall
     for phase in ("dispatch", "log", "tail_dispatch"):
         assert trainer.phase_cpu_seconds[phase] <= trainer.phase_seconds[phase] + 0.05
+    # per-epoch loop CPU recorded alongside per-epoch walls
+    assert len(trainer.epoch_cpu_walls) == len(trainer.epoch_walls) == 2
+    assert all(c >= 0.0 for c in trainer.epoch_cpu_walls)
 
     # the deferred rows actually reached the logger sinks
     rows = [

@@ -87,6 +87,7 @@ class Trainer:
         # events, ragged-tail steps (for count x RTT tunnel attribution)
         self.phase_counts: dict[str, int] = {}
         self.epoch_walls: list[float] = []
+        self.epoch_cpu_walls: list[float] = []
         # deferred log events: (host_step, examples, wall_s, device vec of
         # per-key window means) — ONE blocking device_get per epoch at
         # flush time instead of one per logging event
@@ -235,6 +236,7 @@ class Trainer:
         self._pending_logs = []
         self._pending_log_keys = None
         self.epoch_walls = []
+        self.epoch_cpu_walls = []
         examples = 0
         stop = False
         epoch = 0
@@ -316,6 +318,11 @@ class Trainer:
                 if cfg.steps_per_dispatch > 1:
                     t_ep = time.perf_counter()
                     val_before = self.phase_seconds["validate"]
+                    cpu_before = sum(
+                        self.phase_cpu_seconds[k]
+                        for k in ("queue_wait", "upload", "dispatch", "log",
+                                  "tail_dispatch")
+                    )
                     stop, examples = self._run_epoch_scanned(
                         epoch, root_key, t_start, examples
                     )
@@ -332,6 +339,15 @@ class Trainer:
                     # async compiles / executable cache loads of every
                     # program variant) from the steady state
                     self.epoch_walls.append(round(dt_ep, 2))
+                    # per-epoch thread-CPU of the main loop: epoch 0's CPU
+                    # is dominated by tracing, so co-located projections
+                    # must use the steady-epoch CPU, not total/epochs
+                    cpu_now = sum(
+                        self.phase_cpu_seconds[k]
+                        for k in ("queue_wait", "upload", "dispatch", "log",
+                                  "tail_dispatch")
+                    )
+                    self.epoch_cpu_walls.append(round(cpu_now - cpu_before, 3))
                 else:
                     stop, examples = self._run_epoch(
                         epoch, root_key, t_start, examples
