@@ -97,15 +97,37 @@ def run_point(app, item_ids, user_ids, clients: int, requests: int):
 
 
 def batch_stats(app) -> dict:
-    """Realized batch sizes from the app's Prometheus aggregation."""
+    """Realized batch sizes from the app's Prometheus aggregation:
+    ``xrt_span_metric_total{metric="batch_size"}`` sums each waiter's batch
+    size, so sum / encode-bearing requests = request-weighted mean batch."""
+    out = {}
+    encode_requests = 0
+    for line in app.metrics_text().splitlines():
+        if line.startswith("#"):
+            continue
+        if 'metric="batch_size"' in line:
+            out["batch_size_sum"] = float(line.rsplit(" ", 1)[-1])
+        # only the query/item routes run the encoder (user_id serves the
+        # stored user embedding)
+        if line.startswith("xrt_requests_total") and (
+            'route="recommend_with_item_id"' in line
+            or 'route="recommend_with_query"' in line
+        ):
+            encode_requests += int(float(line.rsplit(" ", 1)[-1]))
+    if encode_requests and "batch_size_sum" in out:
+        out["encode_requests"] = encode_requests
+        out["mean_batch"] = round(out["batch_size_sum"] / encode_requests, 2)
+    return out
+
+
+def span_seconds(app) -> dict:
+    """Aggregated device/host span seconds (encode is the amortized
+    per-waiter share, so the sum is true encoder wall — asgi.py)."""
     out = {}
     for line in app.metrics_text().splitlines():
-        if "batch_size" in line and not line.startswith("#"):
-            key = "sum" if "sum" in line else ("count" if "count" in line else None)
-            if key:
-                out[key] = float(line.rsplit(" ", 1)[-1])
-    if out.get("count"):
-        out["mean_batch"] = round(out["sum"] / out["count"], 2)
+        if line.startswith("xrt_span_seconds_total"):
+            name = line.split('span="', 1)[1].split('"', 1)[0]
+            out[name] = round(float(line.rsplit(" ", 1)[-1]), 3)
     return out
 
 
@@ -132,6 +154,18 @@ def main() -> None:
         item_ids = service.item_index.index.store.records["item_id"].tolist()
         user_ids = service.user_index.index.store.records["user_id"].tolist()
 
+        # compile every power-of-two encode bucket up-front: a first-seen
+        # bucket mid-run costs a remote compile (a 292 s p99 outlier in the
+        # first capture of this bench came from exactly that)
+        from transformer_recommenders_tpu.serving.service import Query
+
+        nb = 1
+        while nb <= 64:
+            service.model.embed(
+                [Query(item_ids=[item_ids[0]]) for _ in range(nb)]
+            )
+            nb *= 2
+
         points = []
         for window_ms, max_batch in [(2.0, 64), (0.5, 64), (5.0, 64), (2.0, 16)]:
             service.model.batcher = MicroBatcher(
@@ -147,6 +181,7 @@ def main() -> None:
                 window_ms=window_ms,
                 max_batch=max_batch,
                 batch=batch_stats(app),
+                span_seconds_total=span_seconds(app),
             )
             points.append(res)
             print(json.dumps(res), flush=True)
