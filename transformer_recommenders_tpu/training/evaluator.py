@@ -43,13 +43,21 @@ def _device_reduce(metrics: dict) -> jax.Array:
     )
 
 
-def _accumulate_reduced(metrics, sums: dict, count: float) -> float:
-    """Fetch the device-reduced vector and fold it into (sums, count)."""
-    names = sorted(k for k in metrics if k != "valid")
-    vec = np.asarray(jax.device_get(_device_reduce(metrics)))
-    for name, total in zip(names, vec[:-1]):
-        sums[name] = sums.get(name, 0.0) + float(total)
-    return count + float(vec[-1])
+def _finalize_deferred(names, vecs, stage: str) -> dict[str, float]:
+    """One blocking download for a WHOLE eval pass: per-batch reduced
+    vectors stay on device (async), are summed there, and fetched once.
+
+    The per-batch fetch this replaces forced a full pipeline stall —
+    dispatch, compute, tunnel round-trip — per eval batch (~35 serialized
+    round-trips for the ML-25M eval shape); deferring lets every batch's
+    dispatch stream and pays exactly one round-trip per pass."""
+    if not vecs:
+        return {}
+    total = np.asarray(jax.device_get(jnp.sum(jnp.stack(vecs), axis=0)))
+    denom = max(float(total[-1]), 1.0)
+    return {
+        f"{stage}/{name}": float(v) / denom for name, v in zip(names, total[:-1])
+    }
 
 
 def make_eval_step(config: TrainConfig):
@@ -168,17 +176,17 @@ class ShardedEvaluator:
         table_sharded, items_sharded = tables
         b = self.config.eval_batch_size
         u = len(arrays)
-        sums: dict[str, float] = {}
-        count = 0.0
+        names, vecs = None, []
         for lo in range(0, u, b):
             hw, hf, tg, nt = arrays.batch(lo, min(lo + b, u), b)
             metrics = self._eval_step(
                 params, table_sharded, items_sharded, hw, hf, tg, nt,
                 num_items=self.num_items,
             )
-            count = _accumulate_reduced(metrics, sums, count)
-        denom = max(count, 1.0)
-        return {f"{stage}/{k}": v / denom for k, v in sums.items()}
+            if names is None:
+                names = sorted(k for k in metrics if k != "valid")
+            vecs.append(_device_reduce(metrics))
+        return _finalize_deferred(names, vecs, stage)
 
     def recommend_batch(
         self, params, tables, arrays: EvalArrays
@@ -219,15 +227,15 @@ class Evaluator:
         ``xfmr_rec/metrics.py:62-63`` skip + Lightning mean aggregation)."""
         b = self.config.eval_batch_size
         u = len(arrays)
-        sums: dict[str, float] = {}
-        count = 0.0
+        names, vecs = None, []
         items = self._prepare_items(params, item_table)  # once per eval
         for lo in range(0, u, b):
             hw, hf, tg, nt = arrays.batch(lo, min(lo + b, u), b)
             metrics = self._eval_step(params, item_table, items, hw, hf, tg, nt)
-            count = _accumulate_reduced(metrics, sums, count)
-        denom = max(count, 1.0)
-        return {f"{stage}/{k}": v / denom for k, v in sums.items()}
+            if names is None:
+                names = sorted(k for k in metrics if k != "valid")
+            vecs.append(_device_reduce(metrics))
+        return _finalize_deferred(names, vecs, stage)
 
     def recommend_batch(
         self, params, item_table, arrays: EvalArrays
