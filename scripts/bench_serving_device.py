@@ -173,9 +173,14 @@ def main() -> None:
                 max_batch=max_batch,
                 window_ms=window_ms,
             )
+            # warm every compiled shape bucket (po2 paddings + search) on a
+            # THROWAWAY app, then measure on a fresh one so the published
+            # batch/span counters contain only the measured pass's traffic
+            run_point(
+                service.to_asgi(), item_ids, user_ids, args.clients,
+                args.clients * 4,
+            )
             app = service.to_asgi()
-            # warm every compiled shape bucket (po2 paddings + search)
-            run_point(app, item_ids, user_ids, args.clients, args.clients * 4)
             res = run_point(app, item_ids, user_ids, args.clients, args.requests)
             res.update(
                 window_ms=window_ms,

@@ -165,12 +165,15 @@ def main() -> None:
             break
         window = [batch] if window is None else window + [batch]
     step_ms = None
-    if window is not None and len(window) == k:
+    # the scanned driver (and its _scan_step) only exists for k > 1; a
+    # --steps_per_dispatch 1 run uses the single-step loop and skips the
+    # in-situ window probe rather than crashing after the whole fit
+    scan = getattr(trainer, "_scan_step", None)
+    if scan is not None and window is not None and len(window) == k:
         from transformer_recommenders_tpu.training.scan_steps import stack_batches
 
         stacked = {kk: jax.device_put(v) for kk, v in stack_batches(window).items()}
         state = trainer.state
-        scan = trainer._scan_step
         keys = [jax.random.key(200 + i) for i in range(40)]
         for i in range(3):  # burn (donated-buffer variant + memoization)
             state, _ = scan(state, trainer.model.item_table, stacked, keys[i])

@@ -72,7 +72,7 @@ def parse(trace_dir: str, steps: int = 4 * K) -> None:
     xspace = xplane_pb2.XSpace()
     xspace.ParseFromString(open(sorted(paths)[-1], "rb").read())
     per_op: collections.Counter = collections.Counter()
-    total_ns = 0
+    total_ps = 0
     for plane in xspace.planes:
         if "TPU" not in plane.name and "/device" not in plane.name.lower():
             continue
@@ -87,8 +87,8 @@ def parse(trace_dir: str, steps: int = 4 * K) -> None:
                 # bucket by leading token before '.' / digits
                 key = name.split(".")[0].rstrip("0123456789_")
                 per_op[key] += event.duration_ps
-                total_ns += event.duration_ps
-    print(f"\ntotal device time: {total_ns/1e12/steps*1e3:.3f} ms/step over {steps} steps")
+                total_ps += event.duration_ps
+    print(f"\ntotal device time: {total_ps/1e12/steps*1e3:.3f} ms/step over {steps} steps")
     for name, ps in per_op.most_common(25):
         print(f"  {ps/1e12/steps*1e3:8.4f} ms/step  {name}")
 

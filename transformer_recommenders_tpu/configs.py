@@ -178,6 +178,12 @@ class IndexConfig(pydantic.BaseModel):
     metric: Similarity = "cosine"
     backend: Literal["device", "host"] = "device"
     top_k: int = TOP_K
+    # persist BM25 postings at save() even when never queried in-process.
+    # The serving artifact's ITEMS table sets this (``search_item_text``
+    # routes it, so a cold serving replica must not pay the corpus build
+    # inside its first request); tables whose text no API searches (users)
+    # leave it off and skip the build+artifact cost entirely.
+    persist_fts: bool = False
 
 
 class MeshConfig(pydantic.BaseModel):

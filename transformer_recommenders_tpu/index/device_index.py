@@ -198,16 +198,16 @@ class DeviceIndex:
         (path / "config.json").write_text(self.config.model_dump_json(indent=2))
         if self.embeddings is not None:
             np.save(path / "embeddings.npy", np.asarray(self.embeddings)[: self._num_items])
-        if (
-            self._text_index is not None
-            and self.config.text_col in self.store.records.columns
+        if self.config.text_col in self.store.records.columns and (
+            self.config.persist_fts or self._text_index is not None
         ):
-            # persist ONLY postings something actually queried (or loaded):
-            # force-building here would pay save-time + artifact-size cost
-            # for every text-bearing table — including the users table,
-            # whose user_text no API ever text-searches.  Loaders fall back
-            # to a lazy rebuild when the artifact is absent.
-            self._text_index.save(path)
+            # persist postings when the table OPTS IN (persist_fts — the
+            # serving items table, whose search_item_text API must not pay
+            # the corpus build inside a cold replica's first request) or
+            # when something already queried/loaded them.  Other
+            # text-bearing tables (users: no API searches user_text) skip
+            # the build + artifact cost; loaders lazily rebuild if needed.
+            self._ensure_text_index().save(path)
         else:
             fts.remove_artifacts(path)  # no stale postings from a prior corpus
 
@@ -228,12 +228,6 @@ class DeviceIndex:
         self.index_data(records, embeddings=embeddings)
         # None (absent, or doc-count/content-fingerprint mismatch with the
         # live corpus) -> lazy rebuild
-        self._text_index = BM25TextIndex.load(
-            path,
-            expected_docs=len(records),
-            expected_fingerprint=fts.corpus_fingerprint(
-                fts.texts_for(records, merged.text_col)
-            ),
-        )
+        self._text_index = fts.load_validated(path, records, merged.text_col)
         return self
 

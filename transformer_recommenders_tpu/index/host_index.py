@@ -119,13 +119,12 @@ class HostIndex:
         (path / "config.json").write_text(self.config.model_dump_json(indent=2))
         if self.embeddings is not None:
             np.save(path / "embeddings.npy", self.embeddings)
-        if (
-            self._text_index is not None
-            and self.config.text_col in self.store.records.columns
+        if self.config.text_col in self.store.records.columns and (
+            self.config.persist_fts or self._text_index is not None
         ):
-            # persist ONLY postings something actually queried (or loaded)
-            # — see DeviceIndex.save; loaders lazily rebuild when absent
-            self._text_index.save(path)
+            # opt-in (persist_fts) or already-built postings are persisted;
+            # other text-bearing tables skip the cost — see DeviceIndex.save
+            self._ensure_text_index().save(path)
         else:
             fts.remove_artifacts(path)  # no stale postings from a prior corpus
 
@@ -144,11 +143,5 @@ class HostIndex:
         self.index_data(records, embeddings=embeddings)
         # None (absent, or doc-count/content-fingerprint mismatch with the
         # live corpus) -> lazy rebuild
-        self._text_index = BM25TextIndex.load(
-            path,
-            expected_docs=len(records),
-            expected_fingerprint=fts.corpus_fingerprint(
-                fts.texts_for(records, merged.text_col)
-            ),
-        )
+        self._text_index = fts.load_validated(path, records, merged.text_col)
         return self

@@ -268,3 +268,25 @@ def search_text_rows(store, text_index: BM25TextIndex, text: str,
         row["score"] = score
         out.append(row)
     return out
+
+
+def load_validated(table_dir, records, text_col: str) -> BM25TextIndex | None:
+    """Open saved postings for a live records frame, or None.
+
+    Single staleness protocol shared by both index backends: artifact
+    presence is checked FIRST (computing the corpus fingerprint costs a
+    full stringify+hash sweep — O(corpus) wasted work when nothing was
+    persisted, which is the common case for non-FTS tables), then the doc
+    count and content fingerprint must both match the live corpus.
+    """
+    table_dir = pathlib.Path(table_dir)
+    if not (
+        (table_dir / "fts_meta.json").exists()
+        and (table_dir / "fts_postings.npz").exists()
+    ):
+        return None
+    return BM25TextIndex.load(
+        table_dir,
+        expected_docs=len(records),
+        expected_fingerprint=corpus_fingerprint(texts_for(records, text_col)),
+    )

@@ -637,9 +637,12 @@ class Trainer:
                 and cfg.val_check_interval > 0
                 and self._host_step // cfg.val_check_interval
                 > (self._host_step - n_steps) // cfg.val_check_interval
-                and self._midepoch_validate(epoch)
             ):
-                return True, examples
+                # emit queued train rows BEFORE the validation row so the
+                # sinks stay step-ordered
+                self._flush_pending_logs()
+                if self._midepoch_validate(epoch):
+                    return True, examples
             if 0 <= cfg.max_steps <= self._host_step:
                 return True, examples
             if time.time() - t_start > cfg.max_time_seconds:
@@ -658,6 +661,11 @@ class Trainer:
             [jnp.mean(jnp.asarray(logs[key], jnp.float32)) for key in keys]
         )
         self._pending_logs.append((self._host_step, examples, wall_s, vec))
+        # bound what a mid-epoch crash can lose (and keep sinks fresh on
+        # multi-minute epochs): one amortized download per 16 events still
+        # cuts the per-event round-trip cost 16x
+        if len(self._pending_logs) >= 16:
+            self._flush_pending_logs()
 
     def _flush_pending_logs(self) -> None:
         """Emit every queued log event with ONE device_get: the (E, n_keys)
@@ -794,6 +802,10 @@ class Trainer:
                 id_col="item_id",
                 text_col="item_text",
                 embedding_col="embedding",
+                # ship prebuilt BM25 postings: search_item_text routes this
+                # table, and a cold serving replica must not pay the corpus
+                # build inside its first request
+                persist_fts=True,
             )
         )
         items_index.index_data(dm.items, embeddings=index_embeddings)
