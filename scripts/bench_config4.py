@@ -126,7 +126,8 @@ def main() -> None:
             "r4_whole_table_pre_projection": 6.52,
             "r5_gather_then_project": 6.07,
             "r5_plus_bf16_softmax_residual": 5.70,
-            "r5_plus_single_residual_attn_chain": round(measured, 3),
+            "r5_plus_single_residual_attn_chain": 5.66,
+            "r5_plus_fast_variance_ln": round(measured, 3),
         },
         "refused": {
             "full_layer_remat": "6.54 -> 7.75 ms (round 4; DMA overlaps compute ~4x)",
@@ -135,6 +136,12 @@ def main() -> None:
                        "dropouts off) vs its 0.29 ms VPU-ceiling bound — the "
                        "hash form is already elementwise-ceiling-bound; "
                        "removable only by changing training semantics",
+            "ln_mxu_sum": "the remaining ~0.15 ms of the 0.30 ms "
+                          "zeroed-LN-statistics bound needs the lane "
+                          "reductions on the MXU, whose bf16 operands round "
+                          "x^2 at 2^-8 relative — var would lose ~1e-2 "
+                          "relative precision vs the f32 VPU reduction; "
+                          "refused on numerics",
         },
         "attribution": "xplane bucket tables: scripts/trace_config4.py "
                        "(pre-fix: 13.9 ms/step copy-start + 9.4 slice-start "

@@ -192,12 +192,26 @@ def main() -> None:
             print(json.dumps(res), flush=True)
 
         best = min(points, key=lambda r: (r["p95_ms"] or 1e9))
+
+        # contention-free floor: ONE sequential client.  Under concurrency
+        # the percentiles are dominated by N threads serializing on the
+        # tunnel; a single client shows the per-request device+tunnel cost
+        # itself (and the span split separates the device share)
+        service.model.batcher = MicroBatcher(
+            lambda qs: service.model.embed(qs), max_batch=64, window_ms=2.0
+        )
+        seq_app = service.to_asgi()
+        run_point(seq_app, item_ids, user_ids, 1, 32)  # warm
+        seq_app = service.to_asgi()
+        sequential = run_point(seq_app, item_ids, user_ids, 1, 96)
+        sequential["span_seconds_total"] = span_seconds(seq_app)
         payload = {
             "mode": "in-process ASGI, no socket/HTTP client",
             "backend": backend,
             "clients": args.clients,
             "sweep": points,
             "best": best,
+            "sequential_1_client": sequential,
         }
         pathlib.Path(args.out).write_text(json.dumps(payload, indent=2))
         print(json.dumps({"best": best}))

@@ -400,3 +400,25 @@ def test_split_attention_bf16_grads_match_f32_path():
         a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
         denom = max(1.0, float(np.max(np.abs(b))))
         assert np.max(np.abs(a - b)) / denom < 0.05
+
+
+def test_fast_variance_ln_matches_two_pass():
+    """The s>64 fast-variance LN (var = E[x^2] - E[x]^2) must agree with
+    the two-pass form to f32 summation-order tolerance, in value and grad."""
+    from transformer_recommenders_tpu.models.transformer import _layer_norm
+
+    p = {
+        "scale": jnp.asarray(np.linspace(0.5, 1.5, 64, dtype=np.float32)),
+        "bias": jnp.asarray(np.linspace(-0.1, 0.1, 64, dtype=np.float32)),
+    }
+    x = jax.random.normal(jax.random.key(0), (128, 64)) * 3.0 + 1.7
+
+    slow = _layer_norm(x, p, 1e-12)
+    fast = _layer_norm(x, p, 1e-12, fast_variance=True)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(slow), atol=2e-5)
+
+    g_slow = jax.grad(lambda x: jnp.sum(jnp.square(_layer_norm(x, p, 1e-12))))(x)
+    g_fast = jax.grad(
+        lambda x: jnp.sum(jnp.square(_layer_norm(x, p, 1e-12, fast_variance=True)))
+    )(x)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_slow), atol=2e-4)

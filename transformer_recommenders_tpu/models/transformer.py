@@ -96,14 +96,32 @@ def unstack_layer(params: Params, i: int) -> Params:
 
 
 def _layer_norm(
-    x: jax.Array, p: Params, eps: float, out_dtype: jnp.dtype | None = None
+    x: jax.Array,
+    p: Params,
+    eps: float,
+    out_dtype: jnp.dtype | None = None,
+    *,
+    fast_variance: bool = False,
 ) -> jax.Array:
     """LN computed in f32 (stability); the output joins the activation
     stream in ``out_dtype`` so large activations never materialize in f32
-    (HBM traffic dominates the step otherwise)."""
+    (HBM traffic dominates the step otherwise).
+
+    ``fast_variance`` computes var = E[x^2] - E[x]^2 (flax's default form):
+    the two lane reductions become independent — one fused sweep over x
+    instead of a mean pass followed by a dependent centered pass.  Used at
+    s > 64 (config #4), where a zeroed-statistics variant bounded the LN
+    cost at 0.30 ms/step and no Pallas layer exists to be bit-identical
+    to; s <= 64 keeps the two-pass form the fused kernel reproduces
+    exactly.  The forms differ only in f32 summation order (~1e-7
+    relative on O(1) activations; tested)."""
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    if fast_variance:
+        m2 = jnp.mean(jnp.square(x32), axis=-1, keepdims=True)
+        var = jnp.maximum(m2 - jnp.square(mean), 0.0)
+    else:
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
     out = (x32 - mean) * jax.lax.rsqrt(var + eps)
     out = out * p["scale"] + p["bias"]
     return out.astype(out_dtype) if out_dtype is not None else out
@@ -415,7 +433,13 @@ def transformer_encode(
     if "input_proj" in params and not inputs_projected:
         x = _dense(x, params["input_proj"], dtype)
     x = x.astype(dtype) + params["pos_embed"][:s].astype(dtype)
-    x = _layer_norm(x, params["embed_ln"], cfg.layer_norm_eps, dtype)
+    # s > 64: no fused layer exists (no bit-identity constraint) and the
+    # LN statistics bound 0.30 ms/step at config #4 — use the one-sweep
+    # fast-variance form there (see _layer_norm)
+    fast_ln = s > 64
+    x = _layer_norm(
+        x, params["embed_ln"], cfg.layer_norm_eps, dtype, fast_variance=fast_ln
+    )
     x = _dropout(x, cfg.hidden_dropout, rngs[0])
 
     use_dropout = dropout_rng is not None
@@ -424,10 +448,16 @@ def transformer_encode(
         r1, r2, r3 = (keys[0], keys[1], keys[2]) if use_dropout else (None,) * 3
         attn = _attention(x, layer, cfg, attention_mask, r1)
         attn = _dropout(attn, cfg.hidden_dropout, r2)
-        x = _layer_norm(x + attn, layer["ln1"], cfg.layer_norm_eps, dtype)
+        x = _layer_norm(
+            x + attn, layer["ln1"], cfg.layer_norm_eps, dtype,
+            fast_variance=fast_ln,
+        )
         ffn = _ffn(x, layer, cfg)
         ffn = _dropout(ffn, cfg.hidden_dropout, r3)
-        return _layer_norm(x + ffn, layer["ln2"], cfg.layer_norm_eps, dtype)
+        return _layer_norm(
+            x + ffn, layer["ln2"], cfg.layer_norm_eps, dtype,
+            fast_variance=fast_ln,
+        )
 
     if cfg.remat_layers:
         # recompute layer internals in the backward pass instead of saving
