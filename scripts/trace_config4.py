@@ -98,6 +98,21 @@ def parse(trace_dir: str, steps: int = 4 * K) -> None:
     print(f"\ntotal device time: {total_ps/1e12/steps*1e3:.3f} ms/step over {steps} steps")
     for name, ps in per_op.most_common(30):
         print(f"  {ps/1e12/steps*1e3:8.4f} ms/step  {name}")
+    # second pass: UNbucketed top ops, so the aggregate %fusion bucket
+    # decomposes into its largest individual programs
+    per_full: collections.Counter = collections.Counter()
+    for plane in xspace.planes:
+        if "TPU" not in plane.name and "/device" not in plane.name.lower():
+            continue
+        for line in plane.lines:
+            if "XLA Ops" not in line.name:
+                continue
+            for event in line.events:
+                name = plane.event_metadata[event.metadata_id].name
+                per_full[name.split(" = ")[0]] += event.duration_ps
+    print("\ntop individual ops:")
+    for name, ps in per_full.most_common(25):
+        print(f"  {ps/1e12/steps*1e3:8.4f} ms/step  {name[:110]}")
 
 
 if __name__ == "__main__":
