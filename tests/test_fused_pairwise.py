@@ -122,3 +122,18 @@ def test_fused_objective_helper_matches_reference(name, monkeypatch):
     got = TS._fused_objective(cfg, embeds)
     assert got is not None
     np.testing.assert_allclose(float(got), float(expected), rtol=2e-5, atol=2e-5)
+
+
+def test_default_tiles_cap_for_scale_pools():
+    """Pools past 16k rows must drop to 2048-column tiles: the f32 (1, rn)
+    row vectors the backward streams grow with the pool, and the 4096-tile
+    dq/dp kernel measured 16.54 MB of scoped VMEM (548 KB past the 16 MB
+    limit) at rn=32768 — the ML-25M config at B=256."""
+    from transformer_recommenders_tpu.ops.fused_infonce import _default_tiles
+
+    tr, tc = _default_tiles(256, 8192)   # config-4 bench shape (B=64)
+    assert tc == 4096                    # fat tiles keep winning here
+    tr, tc = _default_tiles(256, 32768)  # ML-25M fit shape (B=256)
+    assert tc == 2048
+    tr, tc = _default_tiles(256, 65536)
+    assert tc == 2048

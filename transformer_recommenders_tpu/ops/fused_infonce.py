@@ -48,12 +48,22 @@ def _default_tiles(d: int, rn: int) -> tuple[int, int]:
     """VMEM-budgeted tiles.  Fewer/fatter column tiles win (measured on
     v5e: single column pass beat 4x2048 by 25%), bounded by the worst
     kernel's VMEM footprint — the dNeg backward holds the (tc, d) f32
-    accumulator + (tr, tc) f32 logits + (tc, d) bf16 pool tile at once."""
+    accumulator + (tr, tc) f32 logits + (tc, d) bf16 pool tile at once.
+
+    The per-column model deliberately leaves ~1 MB of the 16 MB scoped
+    limit for Pallas double buffering and XLA's surrounding stack; that
+    headroom also has to cover the f32 (1, rn) row vectors the backward
+    kernels stream (den/grad rows), which GROW with the pool.  At
+    rn = 32768 (config #4 at B=256) the 4096-column tiles compiled at
+    16.54 MB — 548 KB past the limit — so pools past 16k rows drop to
+    2048-column tiles (compile-verified at the ML-25M B=256 shape)."""
     tr = 256
     budget = 15_000_000
     per_col = 4 * tr + 6 * d
     tc = budget // per_col
     tc = max(512, 1 << (tc.bit_length() - 1))  # pow2 floor
+    if rn > 16384:
+        tc = min(tc, 2048)
     return tr, min(tc, max(_round_up(rn, 128), 128))
 
 
