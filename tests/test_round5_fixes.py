@@ -268,3 +268,30 @@ def test_persist_fts_opt_in_ships_prebuilt_postings(cls, tmp_path):
     assert loaded._text_index is not None  # adopted, no lazy rebuild needed
     hits = loaded.search_text("movie 3", top_k=3)
     assert hits and hits[0]["item_id"] == "i3"
+
+
+# -- batched vector search -----------------------------------------------------
+
+
+@pytest.mark.parametrize("cls", [DeviceIndex, HostIndex])
+def test_search_batch_matches_per_query(cls, tmp_path):
+    """search_batch (the serving search micro-batcher's backend) must
+    return exactly what per-query search returns, across mixed exclusion
+    lengths and top_k values in one coalesced batch."""
+    config = IndexConfig(table_name="items", backend="host")
+    idx = cls(config)
+    emb = RNG.normal(size=(N, D)).astype(np.float32)
+    idx.index_data(_records("Movie"), embeddings=emb)
+
+    rng = np.random.default_rng(5)
+    queries = rng.normal(size=(5, D)).astype(np.float32)
+    excludes = [None, ["i0"], ["i1", "i2", "i3"], [], ["i9"] * 1 + [f"i{j}" for j in range(7)]]
+    batched = idx.search_batch(queries, excludes, top_k=4)
+    assert len(batched) == 5
+    for q, ids, rows in zip(queries, excludes, batched):
+        single = idx.search(q, exclude_item_ids=ids, top_k=4)
+        assert [r["item_id"] for r in rows] == [r["item_id"] for r in single]
+        np.testing.assert_allclose(
+            [r["score"] for r in rows], [r["score"] for r in single], rtol=1e-5
+        )
+        assert not set(r["item_id"] for r in rows) & set(ids or [])

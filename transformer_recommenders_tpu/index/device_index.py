@@ -155,6 +155,70 @@ class DeviceIndex:
             out.append(row)
         return out
 
+    def search_batch(
+        self,
+        embeddings: np.ndarray,
+        exclude_item_ids_lists: list[list[str] | None],
+        top_k: int = 20,
+    ) -> list[list[dict[str, Any]]]:
+        """Batched :meth:`search`: B queries -> ONE device MIPS + top-k.
+
+        Serving motivation: per-request searches serialize on the
+        device-dispatch path (one dispatch + one fetch each — ~2 tunnel
+        round-trips/request on this host, SERVING_DEVICE.json); coalescing
+        concurrent requests amortizes that over the batch.  Exclusion
+        lists are padded to one power-of-two width and the batch dim to a
+        power of two so compile count stays O(log^2).
+        """
+        assert self.store is not None and self.embeddings is not None
+        b = len(exclude_item_ids_lists)
+        queries = np.zeros(
+            (1 << max(b - 1, 0).bit_length(), self.embeddings.shape[1]),
+            np.float32,
+        )
+        queries[:b] = np.asarray(embeddings, np.float32)
+        exclude_pos = [
+            [
+                self.store._pos[i] + 1
+                for i in (ids or [])
+                if i in self.store._pos
+            ]
+            for ids in exclude_item_ids_lists
+        ]
+        max_w = max((len(p) for p in exclude_pos), default=0)
+        width = 1 << max(max_w - 1, 0).bit_length() if max_w else 1
+        padded = np.zeros((queries.shape[0], width), np.int32)
+        for row, pos in enumerate(exclude_pos):
+            padded[row, : len(pos)] = pos
+        k = min(top_k, self._num_items)
+        if k <= 0:
+            return [[] for _ in range(b)]
+        if self.mesh is not None:
+            from transformer_recommenders_tpu.parallel.topk_sharded import sharded_topk
+
+            scores, idx = sharded_topk(
+                jnp.asarray(queries), self.embeddings, k, self.mesh,
+                exclude_idx=jnp.asarray(padded), metric=self.config.metric,
+                num_items=self._num_items, items_prenormalized=True,
+            )
+        else:
+            scores, idx = self._jit_search(
+                jnp.asarray(queries), jnp.asarray(padded), k
+            )
+        scores = np.asarray(scores[:b])
+        idx = np.asarray(idx[:b])
+        out: list[list[dict[str, Any]]] = []
+        for row in range(b):
+            rows = []
+            for s, i in zip(scores[row], idx[row]):
+                if not np.isfinite(s):
+                    continue
+                payload = self.store.row(int(i) - 1)
+                payload["score"] = float(s)
+                rows.append(payload)
+            out.append(rows)
+        return out
+
     def search_text(
         self,
         text: str,

@@ -82,6 +82,21 @@ class HostIndex:
             out.append(row)
         return out
 
+    def search_batch(
+        self,
+        embeddings: np.ndarray,
+        exclude_item_ids_lists: list[list[str] | None],
+        top_k: int = 20,
+    ) -> list[list[dict[str, Any]]]:
+        """Batched :meth:`search` (backend symmetry with DeviceIndex — the
+        host backend has no dispatch latency to amortize, so a loop is the
+        whole implementation)."""
+        embeddings = np.asarray(embeddings, np.float32)
+        return [
+            self.search(embeddings[i], exclude_item_ids=ids, top_k=top_k)
+            for i, ids in enumerate(exclude_item_ids_lists)
+        ]
+
     def search_text(
         self,
         text: str,

@@ -103,12 +103,20 @@ class MicroBatcher:
     small window coalesce into ONE encoder forward — the device sees large
     batches even when clients send single queries."""
 
-    def __init__(self, fn, *, max_batch: int = 64, window_ms: float = 2.0) -> None:
+    def __init__(
+        self,
+        fn,
+        *,
+        max_batch: int = 64,
+        window_ms: float = 2.0,
+        span: str = "encode",
+    ) -> None:
         import threading
 
         self._fn = fn
         self._max_batch = max_batch
         self._window = window_ms / 1000.0
+        self._span = span  # trace-span name for the shared fn time
         # THREAD SAFETY: the threaded HTTP server runs each request on its
         # own thread with its own event loop (asgi.serve), so requests
         # coalescing within one window live on DIFFERENT loops.  The queue
@@ -146,13 +154,14 @@ class MicroBatcher:
             res, encode_s, batch_n = await fut
         tr = CURRENT_TRACE.get()
         if tr is not None:
-            # the forward is SHARED by batch_n waiters: aggregate each
-            # waiter's amortized share so xrt_span_seconds_total{span="encode"}
-            # sums to true encoder seconds (not batch_n x), and surface the
-            # full batch forward per-request on the header only
-            tr.add("encode", encode_s / batch_n)
-            tr.add_header_only("encode_batch", encode_s)
-            tr.add_metric("batch_size", batch_n)
+            # the batched fn is SHARED by batch_n waiters: aggregate each
+            # waiter's amortized share so xrt_span_seconds_total{span=...}
+            # sums to true fn seconds (not batch_n x), and surface the
+            # full batch time per-request on the header only
+            tr.add(self._span, encode_s / batch_n)
+            tr.add_header_only(f"{self._span}_batch", encode_s)
+            tr.add_metric(f"{self._span}_batch_size" if self._span != "encode"
+                          else "batch_size", batch_n)
         return res
 
     def _flush(self, generation: int | None = None) -> None:
@@ -243,6 +252,32 @@ class ItemIndexService:
         self._embeddings = np.load(
             input_emb if input_emb.exists() else table_dir / "embeddings.npy"
         )
+        # batchable vector search (beyond the reference, which marks only
+        # embed as batchable — service.py:112-114): per-request searches
+        # serialize on the device dispatch+fetch path, so concurrent
+        # requests coalesce into ONE batched MIPS (index.search_batch)
+        self.search_batcher = MicroBatcher(self._search_many, span="search_device")
+
+    def _search_many(self, queries: list[Query]) -> list[list[ItemCandidate]]:
+        top_k = max((q.top_k for q in queries), default=TOP_K)
+        batched = self.index.search_batch(
+            np.asarray([q.embedding for q in queries], np.float32),
+            [q.exclude_item_ids for q in queries],
+            top_k=top_k,
+        )
+        return [
+            [
+                ItemCandidate(
+                    item_id=r["item_id"], item_text=r["item_text"], score=r["score"]
+                )
+                for r in rows[: q.top_k]
+            ]
+            for q, rows in zip(queries, batched)
+        ]
+
+    async def search_batched(self, query: Query) -> list[ItemCandidate]:
+        assert query.embedding is not None
+        return await self.search_batcher.submit(query)
 
     def search(self, query: Query) -> list[ItemCandidate]:
         assert query.embedding is not None
@@ -361,7 +396,7 @@ class Service:
         if query.embedding is None:
             return []
         with trace_span("search"):
-            return self.item_index.search(query)
+            return await self.item_index.search_batched(query)
 
     async def process_query(self, query: Query) -> Query:
         """item_ids -> stored frozen embeddings, truncated to the last
