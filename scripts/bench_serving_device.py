@@ -196,9 +196,16 @@ def main() -> None:
         # contention-free floor: ONE sequential client.  Under concurrency
         # the percentiles are dominated by N threads serializing on the
         # tunnel; a single client shows the per-request device+tunnel cost
-        # itself (and the span split separates the device share)
+        # itself (and the span split separates the device share).
+        # window_ms=0 on BOTH batchers: a single client never fills a
+        # batch, so a nonzero window would add its full coalescing delay
+        # (2 ms embed + 2 ms search) to every request of the "floor"
         service.model.batcher = MicroBatcher(
-            lambda qs: service.model.embed(qs), max_batch=64, window_ms=2.0
+            lambda qs: service.model.embed(qs), max_batch=64, window_ms=0.0
+        )
+        service.item_index.search_batcher = MicroBatcher(
+            service.item_index._search_many, span="search_device",
+            max_batch=64, window_ms=0.0,
         )
         seq_app = service.to_asgi()
         run_point(seq_app, item_ids, user_ids, 1, 32)  # warm

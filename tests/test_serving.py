@@ -367,3 +367,35 @@ def test_untraced_code_paths_have_no_span_overhead(service):
     recs = asyncio.run(service.recommend_with_item_id(str(item_id)))
     assert len(recs) == 20
     assert CURRENT_TRACE.get() is None
+
+
+def test_search_batcher_isolates_malformed_and_nonpositive_topk(service):
+    """One coalesced batch with a wrong-dim embedding, a top_k=-1, and a
+    healthy query: the malformed one 500s alone, the negative-k one gets
+    the unbatched path's [] semantics, the healthy one gets its results."""
+    import asyncio
+
+    from transformer_recommenders_tpu.serving.service import Query
+
+    svc = service.item_index
+    dim = svc.index.embeddings.shape[1]
+    good = Query(embedding=[0.1] * dim, top_k=3)
+    neg = Query(embedding=[0.2] * dim, top_k=-1)
+    bad = Query(embedding=[0.1, 0.2], top_k=3)  # wrong dim
+
+    results = svc._search_many([good, neg, bad])
+    assert len(results[0]) == 3
+    assert results[1] == []
+    assert isinstance(results[2], Exception)
+
+    async def run_bad():
+        return await svc.search_batched(bad)
+
+    with pytest.raises(ValueError, match="shape"):
+        asyncio.run(run_bad())
+
+    async def run_good():
+        return await svc.search_batched(good)
+
+    out = asyncio.run(run_good())
+    assert len(out) == 3

@@ -113,47 +113,15 @@ class DeviceIndex:
         exactly ``top_k`` non-excluded rows return (unless the catalog is
         smaller).
         """
-        assert self.store is not None and self.embeddings is not None
-        queries = jnp.asarray(embedding, jnp.float32)[None, :]
-        exclude_pos = [
-            self.store._pos[i] + 1
-            for i in (exclude_item_ids or [])
-            if i in self.store._pos
-        ]
-        # pad the exclusion list to a power-of-two width so the jitted
-        # search compiles O(log) programs instead of one per list length
-        width = 1 << max(len(exclude_pos) - 1, 0).bit_length() if exclude_pos else 1
-        padded = np.zeros((1, width), np.int32)
-        padded[0, : len(exclude_pos)] = exclude_pos
-        exclude = jnp.asarray(padded)
-        k = min(top_k, self._num_items)
-        if k <= 0:  # a client-supplied negative top_k would otherwise
-            return []  # reach lax.top_k with k<0 and 500 the request
-        if self.mesh is not None:
-            from transformer_recommenders_tpu.parallel.topk_sharded import sharded_topk
-
-            scores, idx = sharded_topk(
-                queries,
-                self.embeddings,
-                k,
-                self.mesh,
-                exclude_idx=exclude,
-                metric=self.config.metric,
-                num_items=self._num_items,
-                items_prenormalized=True,
-            )
-        else:
-            scores, idx = self._jit_search(queries, exclude, k)
-        scores = np.asarray(scores[0])
-        idx = np.asarray(idx[0])
-        out = []
-        for s, i in zip(scores, idx):
-            if not np.isfinite(s):
-                continue  # fewer than k valid candidates
-            row = self.store.row(int(i) - 1)
-            row["score"] = float(s)
-            out.append(row)
-        return out
+        # single query = a batch of one (identical compiled shapes: B pads
+        # to 1, exclusion width to the same power-of-two buckets) — ONE
+        # implementation carries the exclusion padding / k guard / payload
+        # mapping for both entry points
+        return self.search_batch(
+            np.asarray(embedding, np.float32)[None, :],
+            [exclude_item_ids],
+            top_k=top_k,
+        )[0]
 
     def search_batch(
         self,

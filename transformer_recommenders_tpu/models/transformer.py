@@ -114,7 +114,12 @@ def _layer_norm(
     cost at 0.30 ms/step and no Pallas layer exists to be bit-identical
     to; s <= 64 keeps the two-pass form the fused kernel reproduces
     exactly.  The forms differ only in f32 summation order (~1e-7
-    relative on O(1) activations; tested)."""
+    relative on O(1) activations; tested).  Cancellation bound: the fast
+    form loses ~(mean/std)^2 * 2^-24 relative variance precision, so it
+    is safe while |mean| / std < ~2^9 per row — every LN site here feeds
+    on residual streams or init-scaled embeddings with |mean|/std = O(1);
+    a hypothetical |mean|/std ~ 2000 input (e.g. unnormalized raw
+    features) would need the two-pass form instead."""
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     if fast_variance:

@@ -62,8 +62,18 @@ def _default_tiles(d: int, rn: int) -> tuple[int, int]:
     per_col = 4 * tr + 6 * d
     tc = budget // per_col
     tc = max(512, 1 << (tc.bit_length() - 1))  # pow2 floor
-    if rn > 16384:
-        tc = min(tc, 2048)
+    # rn-proportional feasibility check calibrated against the ONE measured
+    # failure: at rn=32768 with 4096-col tiles the dq/dp backward's scoped
+    # stack was 16.54 MB vs the 16 MB limit.  per_col*tc models 10.49 MB of
+    # that, so the unmodeled remainder is ~5 MB of fixed double-buffering/
+    # scheduler overhead plus ~32 B per pool row (the f32 (1, rn) den/grad
+    # vectors, x2 buffering).  Halve the tile until the calibrated total
+    # fits; the config-4 bench shape (rn=8192 -> 15.75 MB) keeps its
+    # measured-fastest 4096 tiles, rn >= 16384 drops to 2048
+    # (compile-verified at the ML-25M B=256 shape, rn=32768).
+    limit, fixed = 16_000_000, 5_000_000
+    while tc > 512 and per_col * tc + fixed + 32 * rn > limit:
+        tc //= 2
     return tr, min(tc, max(_round_up(rn, 128), 128))
 
 

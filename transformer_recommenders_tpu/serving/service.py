@@ -147,10 +147,16 @@ class MicroBatcher:
                 )
         if flush_now:
             self._flush()
-        # request tracing: batch_wait covers coalescing window + encode +
+        # request tracing: the wait span covers coalescing window + fn +
         # cross-loop resolution; the batch's shared fn time and size ride
-        # back with the result so each waiter can report the encode span
-        with trace_span("batch_wait"):
+        # back with the result so each waiter can report the fn span.
+        # Each batcher gets its OWN wait series ("batch_wait" stays the
+        # encode batcher's name for continuity) so queue waits don't
+        # conflate across batchers.
+        wait_span = (
+            "batch_wait" if self._span == "encode" else f"{self._span}_wait"
+        )
+        with trace_span(wait_span):
             res, encode_s, batch_n = await fut
         tr = CURRENT_TRACE.get()
         if tr is not None:
@@ -258,26 +264,51 @@ class ItemIndexService:
         # requests coalesce into ONE batched MIPS (index.search_batch)
         self.search_batcher = MicroBatcher(self._search_many, span="search_device")
 
-    def _search_many(self, queries: list[Query]) -> list[list[ItemCandidate]]:
-        top_k = max((q.top_k for q in queries), default=TOP_K)
-        batched = self.index.search_batch(
-            np.asarray([q.embedding for q in queries], np.float32),
-            [q.exclude_item_ids for q in queries],
-            top_k=top_k,
-        )
-        return [
-            [
-                ItemCandidate(
-                    item_id=r["item_id"], item_text=r["item_text"], score=r["score"]
+    def _search_many(self, queries: list[Query]):
+        """Batched search body.  Per-request failure isolation: a malformed
+        embedding (wrong dim / ragged) must 500 ITS request only — one bad
+        client must not poison every coalesced waiter — so invalid entries
+        get an exception OBJECT as their slot's result (re-raised in
+        :meth:`search_batched`) and only the valid rows hit the device."""
+        dim = self.index.embeddings.shape[1]
+        results: list = [None] * len(queries)
+        valid: list[int] = []
+        for i, q in enumerate(queries):
+            emb = np.asarray(q.embedding, np.float32)
+            if emb.shape != (dim,):
+                results[i] = ValueError(
+                    f"query embedding must have shape ({dim},), got {emb.shape}"
                 )
-                for r in rows[: q.top_k]
-            ]
-            for q, rows in zip(queries, batched)
-        ]
+            elif q.top_k <= 0:
+                # the unbatched path's non-positive top_k guard returns []
+                # — batching must not bypass it via max-k + negative slicing
+                results[i] = []
+            else:
+                valid.append(i)
+        if valid:
+            top_k = max(queries[i].top_k for i in valid)
+            batched = self.index.search_batch(
+                np.asarray([queries[i].embedding for i in valid], np.float32),
+                [queries[i].exclude_item_ids for i in valid],
+                top_k=top_k,
+            )
+            for i, rows in zip(valid, batched):
+                results[i] = [
+                    ItemCandidate(
+                        item_id=r["item_id"],
+                        item_text=r["item_text"],
+                        score=r["score"],
+                    )
+                    for r in rows[: queries[i].top_k]
+                ]
+        return results
 
     async def search_batched(self, query: Query) -> list[ItemCandidate]:
         assert query.embedding is not None
-        return await self.search_batcher.submit(query)
+        res = await self.search_batcher.submit(query)
+        if isinstance(res, Exception):
+            raise res
+        return res
 
     def search(self, query: Query) -> list[ItemCandidate]:
         assert query.embedding is not None
