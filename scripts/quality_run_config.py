@@ -2,9 +2,16 @@
 real ``Trainer.fit`` + batched eval on synthetic data of a given shape.
 
 Companions: quality_run.py (reference-equivalent topology, tunnel/host
-split), quality_run_25m.py (config #4 at scale), quality_run_100k.py
-(config #1, BPR).  This one exists so EVERY ``configs/*.yaml`` can be
-driven verbatim — e.g. config #2:
+split) and quality_run_25m.py (config #4 at scale).  Produced
+QUALITY_RUN_100K.json (configs/ml100k_bpr.yaml at 943/1682/100k),
+QUALITY_RUN_ML1M_SSM.json and QUALITY_RUN_ML1M_REF.json.
+
+The yaml's MODEL topology and loss run as written; run-harness fields
+(epochs/patience/log cadence/dispatch width/checkpointing) and the data
+source (synthetic + hash embedder — no egress) are overridden, and the
+single-chip host forces a 1x1 mesh.  Every override is recorded in the
+output artifact's ``overrides`` field so the JSON states exactly what
+ran.  Example:
 
     python scripts/quality_run_config.py --config configs/ml1m_ssm.yaml \
         --users 6040 --items 3706 --events 1000000 --epochs 4 \
@@ -35,11 +42,10 @@ def main() -> None:
     args = parser.parse_args()
 
     if args.cpu:
-        import os
-
-        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
         import jax
 
+        # single-device CPU (the run pins a 1x1 mesh anyway; forcing 8
+        # virtual devices would just pay extra XLA startup)
         jax.config.update("jax_platforms", "cpu")
     else:
         import jax
@@ -52,7 +58,7 @@ def main() -> None:
     from transformer_recommenders_tpu.training.trainer import Trainer
 
     payload = yaml.safe_load(pathlib.Path(args.config).read_text())
-    payload["model"].update(
+    model_overrides = dict(
         max_epochs=args.epochs,
         early_stopping_patience=4,
         log_every_n_steps=100,
@@ -61,7 +67,8 @@ def main() -> None:
         ckpt_dir=f"/tmp/xrt_cfg_ckpt_{pathlib.Path(args.config).stem}",
         mesh={"data_axis_size": 1, "model_axis_size": 1},
     )
-    payload["data"].update(
+    payload["model"].update(model_overrides)
+    data_overrides = dict(
         dataset="synthetic",
         embedder="hash",  # no egress: the ST weights can't download
         data_dir=args.data_dir,
@@ -69,6 +76,7 @@ def main() -> None:
         synthetic_num_items=args.items,
         synthetic_num_events=args.events,
     )
+    payload["data"].update(data_overrides)
     config = TrainConfig.model_validate(payload["model"])
     data_config = SeqDataModuleConfig.model_validate(payload["data"])
 
@@ -79,10 +87,12 @@ def main() -> None:
     )
     trainer.configure()
     t_fit = time.time()
-    result = trainer.fit()
-    fit_wall = time.time() - t_fit
-    test = trainer.test()
-    trainer.close()
+    try:
+        result = trainer.fit()
+        fit_wall = time.time() - t_fit
+        test = trainer.test()
+    finally:
+        trainer.close()
 
     phases = {k: round(v, 1) for k, v in trainer.phase_seconds.items()}
     phases["per_epoch_wall"] = trainer.epoch_walls
@@ -94,6 +104,7 @@ def main() -> None:
         "wall_s": round(time.time() - t0, 1),
         "fit_wall_s": round(fit_wall, 1),
         "fit_phase_seconds": phases,
+        "overrides": {"model": model_overrides, "data": data_overrides},
         "val": {k: round(v, 4) for k, v in result.items()},
         "test": {k: round(v, 4) for k, v in test.items()},
     }

@@ -26,7 +26,13 @@ torchmetrics fidelity notes (golden tests in tests/test_metrics.py):
   mean over the j-th hit within top_k of ``j / position_j`` (1-based).
 - ``retrieval_auroc`` is computed over the top_k-truncated list; degenerate
   lists (no positives OR all positives) give 0.0, exactly like
-  torchmetrics' missing-class bail-out.
+  torchmetrics' missing-class bail-out.  NOTE an intended protocol
+  property: the reference APPENDS every missed target to the END of the
+  scored list (metrics.py:70-78), i.e. unrecalled positives get the
+  lowest scores — so whenever recall@k is low, AUROC sits well BELOW the
+  0.5 "chance" intuition.  Values like 0.1-0.2 alongside a decent hit
+  rate are the faithful reference semantics, not an inverted metric
+  (golden-tested against the torchmetrics transcription).
 - ``retrieval_normalized_dcg`` uses binary gains; ideal DCG over
   ``min(top_k, n_targets)`` ones.
 """
