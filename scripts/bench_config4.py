@@ -127,7 +127,12 @@ def main() -> None:
             "r5_gather_then_project": 6.07,
             "r5_plus_bf16_softmax_residual": 5.70,
             "r5_plus_single_residual_attn_chain": 5.66,
-            "r5_plus_fast_variance_ln": round(measured, 3),
+            "r5_plus_fast_variance_ln": 5.503,
+            # widening the custom VJP to own the qk product (all backward
+            # matmul operands bf16, cotangent buffer halved) measured
+            # TIME-NEUTRAL — the step is DMA-orchestration-bound, not
+            # matmul-throughput-bound; kept for the memory/traffic win
+            "r5_plus_all_bf16_operand_backward": round(measured, 3),
         },
         "refused": {
             "full_layer_remat": "6.54 -> 7.75 ms (round 4; DMA overlaps compute ~4x)",

@@ -334,47 +334,65 @@ def test_hash_dropout_identity_cases():
     np.testing.assert_array_equal(np.asarray(_dropout(x, 0.5, None)), np.asarray(x))
 
 
-def test_attn_ctx_bf16_single_residual_matches_unfused():
+def test_attn_core_bf16_single_residual_matches_unfused():
     """The single-residual attention chain (s>64 XLA path, bf16 compute)
-    must be bit-identical to the unfused softmax->bf16->dropout->pv chain
-    in the forward and close in every gradient (the VJP rebuilds the
+    must be bit-identical to the unfused qk->softmax->bf16->dropout->pv
+    chain in the forward and close in every gradient (the VJP rebuilds the
     dropped probs from the one saved bf16 buffer + the recomputed hash
-    mask)."""
+    mask, and runs every backward matmul with bf16 operands)."""
+    import math as _math
+
     from transformer_recommenders_tpu.models.transformer import (
-        _attn_ctx_bf16,
+        _attn_bias,
+        _attn_core_bf16,
         _dropout_from_seed,
     )
 
-    x = jax.random.normal(jax.random.key(0), (2, 4, 16, 16)) * 4.0
-    v = jax.random.normal(jax.random.key(1), (2, 16, 4, 8)).astype(jnp.bfloat16)
+    b, s, h, dh = 2, 16, 4, 8
+    q = (jax.random.normal(jax.random.key(0), (b, s, h, dh)) * 2.0).astype(
+        jnp.bfloat16
+    )
+    k = jax.random.normal(jax.random.key(3), (b, s, h, dh)).astype(jnp.bfloat16)
+    v = jax.random.normal(jax.random.key(1), (b, s, h, dh)).astype(jnp.bfloat16)
+    key_mask = jnp.arange(s)[None, :] < jnp.array([[s], [s - 3]])[:, 0:1]
     seed = jnp.uint32(1234)
 
-    def unfused(x, v, rate):
-        y = jax.nn.softmax(x, axis=-1).astype(jnp.bfloat16)
+    def unfused(q, k, v, rate, causal):
+        scores = (
+            jnp.einsum("bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32)
+            / _math.sqrt(dh)
+            + _attn_bias(key_mask, s, causal)
+        )
+        y = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
         p = _dropout_from_seed(y, rate, seed) if rate > 0 else y
         return jnp.einsum(
             "bhst,bthd->bshd", p, v, preferred_element_type=jnp.float32
         )
 
     for rate in (0.0, 0.1):
-        got = _attn_ctx_bf16(x, v, seed, rate)
-        np.testing.assert_array_equal(
-            np.asarray(got), np.asarray(unfused(x, v, rate))
-        )
-        g = jax.random.normal(jax.random.key(2), got.shape)
-        ref_dx, ref_dv = jax.vjp(lambda x, v: unfused(x, v, rate), x, v)[1](g)
-        got_dx, got_dv = jax.vjp(
-            lambda x, v: _attn_ctx_bf16(x, v, seed, rate), x, v
-        )[1](g)
-        # dscores rebuilds from bf16-rounded probs: error ~ |dy| * y * 2^-8
-        # (measured 0.017 peak against a ~3.5 gradient scale, ~0.5% relative)
-        np.testing.assert_allclose(
-            np.asarray(got_dx), np.asarray(ref_dx), atol=3e-2
-        )
-        np.testing.assert_allclose(
-            np.asarray(got_dv, np.float32), np.asarray(ref_dv, np.float32),
-            rtol=0.04, atol=0.05,
-        )
+        for causal in (False, True):
+            got = _attn_core_bf16(q, k, v, key_mask, seed, rate, causal)
+            np.testing.assert_array_equal(
+                np.asarray(got), np.asarray(unfused(q, k, v, rate, causal))
+            )
+            g = jax.random.normal(jax.random.key(2), got.shape)
+            ref_grads = jax.vjp(
+                lambda q, k, v: unfused(q, k, v, rate, causal), q, k, v
+            )[1](g)
+            got_grads = jax.vjp(
+                lambda q, k, v: _attn_core_bf16(
+                    q, k, v, key_mask, seed, rate, causal
+                ),
+                q, k, v,
+            )[1](g)
+            # probs rebuild from bf16-rounded y + bf16 ds/g operands:
+            # error ~ 2^-8 relative on O(1) gradients
+            for got_d, ref_d in zip(got_grads, ref_grads):
+                np.testing.assert_allclose(
+                    np.asarray(got_d, np.float32),
+                    np.asarray(ref_d, np.float32),
+                    rtol=0.06, atol=0.06,
+                )
 
 
 def test_split_attention_bf16_grads_match_f32_path():

@@ -196,51 +196,98 @@ def _dropout_from_seed(x: jax.Array, rate: float, seed: jax.Array) -> jax.Array:
     return jnp.where(h >= keep_threshold(rate), x / (1.0 - rate), 0.0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _attn_ctx_bf16(scores, v, seed, rate):
-    """softmax -> bf16 -> hash-dropout -> pv contraction with ONE bf16
-    residual.
+def _attn_bias(key_mask: jax.Array, s: int, causal: bool) -> jax.Array:
+    """Additive (B, 1, S, S)-broadcastable attention bias: key padding +
+    optional causal mask — the exact construction of the stock path."""
+    bias = jnp.where(key_mask[:, None, None, :], 0.0, _NEG_INF)
+    if causal:
+        tri = jnp.tril(jnp.ones((s, s), jnp.bool_))
+        bias = bias + jnp.where(tri[None, None, :, :], 0.0, _NEG_INF)
+    return bias
 
-    The stock chain at s=128 saves the (B, H, S, S) probs TWICE — the f32
-    softmax output for the softmax VJP plus the bf16 cast the pv
-    contraction consumes (config-4 xplane: 23 ms/step of async copy/slice
-    windows streaming f32[64,8,128,128] buffers, scripts/trace_config4.py;
-    storing the softmax residual in bf16 measured 6.07 -> 5.70 ms/step).
-    This custom VJP keeps exactly one bf16 probs buffer: backward rebuilds
-    the dropped probs from it by recomputing the counter-based hash mask
-    (pure elementwise from iota — nothing stored), reuses dropout's
-    linearity for its own VJP, and reconstructs the softmax gradient
-    dx = y*(g - sum(g*y)) from the bf16-rounded y (an O(2^-8) relative
-    perturbation of an O(1) quantity).  Forward numerics are IDENTICAL to
-    the unfused bf16 chain; f32 compute keeps the stock softmax path so
-    gradient checks and HF parity run exact."""
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _attn_core_bf16(q, k, v, key_mask, seed, rate, causal):
+    """qk -> softmax -> bf16 -> hash-dropout -> pv with ONE bf16 residual
+    and an all-bf16-operand backward.
+
+    Two compounding wins over letting XLA differentiate the chain, both
+    measured at config #4 (6L d=256 seq=128 B=64; BENCH_CONFIG4.json):
+
+    1. Residual traffic (round 5, first cut): the stock chain saves the
+       (B, H, S, S) probs TWICE — f32 softmax residual + the bf16 pv
+       operand (xplane: 23 ms/step of async copy/slice windows streaming
+       f32[64,8,128,128] buffers, scripts/trace_config4.py).  This VJP
+       keeps exactly one bf16 probs buffer: backward rebuilds the dropped
+       probs by recomputing the counter-based hash mask (pure elementwise
+       from iota — nothing stored), reuses dropout's linearity for its own
+       VJP, and reconstructs the softmax gradient dx = y*(g - sum(g*y))
+       from the bf16-rounded y (an O(2^-8) relative perturbation of an
+       O(1) quantity).
+
+    2. Backward operand precision (round 5, second cut): with the VJP
+       boundary at the softmax, the dscores cotangent crossed it as a
+       33.5 MB f32 buffer and FOUR of the five backward matmuls (dq, dk,
+       dv, dp) ran with one f32 operand — a mixed-precision form the MXU
+       executes at a fraction of bf16 throughput.  Owning the qk product
+       lets the backward cast dscores and the incoming ctx cotangent to
+       bf16 BEFORE the matmuls: every backward contraction is pure bf16
+       (f32 accumulation), and the (B, H, S, S) cotangent buffer halves.
+       The rounding this adds (2^-8 relative on ds and g) is the same
+       rounding every forward activation already carries.
+
+    Forward numerics are IDENTICAL to the unfused bf16 chain (same
+    einsum, scale, bias, f32 softmax); f32 compute keeps the stock path
+    so gradient checks and HF parity run exact."""
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    scores = (
+        jnp.einsum("bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32)
+        * scale
+        + _attn_bias(key_mask, q.shape[1], causal)
+    )
     y = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
     p = _dropout_from_seed(y, rate, seed) if rate > 0.0 else y
     return jnp.einsum("bhst,bthd->bshd", p, v, preferred_element_type=jnp.float32)
 
 
-def _attn_ctx_bf16_fwd(scores, v, seed, rate):
+def _attn_core_bf16_fwd(q, k, v, key_mask, seed, rate, causal):
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    scores = (
+        jnp.einsum("bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32)
+        * scale
+        + _attn_bias(key_mask, q.shape[1], causal)
+    )
     y = jax.nn.softmax(scores, axis=-1).astype(jnp.bfloat16)
     p = _dropout_from_seed(y, rate, seed) if rate > 0.0 else y
     ctx = jnp.einsum("bhst,bthd->bshd", p, v, preferred_element_type=jnp.float32)
-    return ctx, (y, v, seed)
+    return ctx, (q, k, v, y, seed)
 
 
-def _attn_ctx_bf16_bwd(rate, res, g):
-    y16, v, seed = res
+def _attn_core_bf16_bwd(rate, causal, res, g):
+    q, k, v, y16, seed = res
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    g16 = g.astype(jnp.bfloat16)
     p = _dropout_from_seed(y16, rate, seed) if rate > 0.0 else y16
     dv = jnp.einsum(
-        "bhst,bshd->bthd", p, g, preferred_element_type=jnp.float32
+        "bhst,bshd->bthd", p, g16, preferred_element_type=jnp.float32
     ).astype(v.dtype)
-    dp = jnp.einsum("bshd,bthd->bhst", g, v, preferred_element_type=jnp.float32)
+    dp = jnp.einsum("bshd,bthd->bhst", g16, v, preferred_element_type=jnp.float32)
     # dropout is x * mask/keep — linear, so its VJP is the same map
     dy = _dropout_from_seed(dp, rate, seed) if rate > 0.0 else dp
     y = y16.astype(jnp.float32)
-    dscores = y * (dy - jnp.sum(dy * y, axis=-1, keepdims=True))
-    return dscores, dv, None
+    ds = (y * (dy - jnp.sum(dy * y, axis=-1, keepdims=True)) * scale).astype(
+        jnp.bfloat16
+    )
+    dq = jnp.einsum(
+        "bhst,bthd->bshd", ds, k, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
+    dk = jnp.einsum(
+        "bhst,bshd->bthd", ds, q, preferred_element_type=jnp.float32
+    ).astype(k.dtype)
+    return dq, dk, dv, None, None
 
 
-_attn_ctx_bf16.defvjp(_attn_ctx_bf16_fwd, _attn_ctx_bf16_bwd)
+_attn_core_bf16.defvjp(_attn_core_bf16_fwd, _attn_core_bf16_bwd)
 
 
 def _fused_layer_mode(cfg: ModelConfig, s: int) -> str | None:
@@ -340,17 +387,20 @@ def _attention(
     q = q.reshape(b, s, h, dh)
     k = k.reshape(b, s, h, dh)
     v = v.reshape(b, s, h, dh)
-    # scores in f32: (B, H, S, S)
-    scores = jnp.einsum("bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32)
-    scores = scores * scale
 
     if jnp.dtype(dtype) == jnp.bfloat16:
         live = rng is not None and cfg.attention_dropout > 0.0
         seed = _dropout_seed(rng) if live else jnp.uint32(0)
         rate = cfg.attention_dropout if live else 0.0
-        ctx = _attn_ctx_bf16(scores + bias, v, seed, rate)
+        # qk + bias + softmax + dropout + pv under ONE custom VJP: one bf16
+        # probs residual, all-bf16-operand backward (see _attn_core_bf16)
+        ctx = _attn_core_bf16(q, k, v, key_mask, seed, rate, cfg.is_decoder)
     else:
-        probs = jax.nn.softmax(scores + bias, axis=-1)
+        # scores in f32: (B, H, S, S)
+        scores = jnp.einsum(
+            "bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32
+        )
+        probs = jax.nn.softmax(scores * scale + bias, axis=-1)
         probs = _dropout(probs, cfg.attention_dropout, rng)
         ctx = jnp.einsum(
             "bhst,bthd->bshd", probs.astype(dtype), v,
